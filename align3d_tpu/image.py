@@ -1,0 +1,125 @@
+"""RGB-D image containers and color conversions.
+
+Counterpart of the reference's ``src/image/`` module group. Frames are loaded
+on the host (PIL/numpy) and become device arrays at the RangeImage boundary.
+
+Luma conversions mirror the reference exactly:
+* ``rgb_to_luma_u8`` — 0.3/0.59/0.11 weights with truncation
+  (reference ``src/image/luma.rs:75-83``), used for ICP intensity terms.
+* Gaussian blur + stride-2 color downsample mirrors
+  ``image::imageops::blur`` semantics (f32 intermediate, kernel support
+  2*sigma, replicated borders) used by ``py_scale_down``
+  (reference ``src/image/rgb.rs:74-84``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from align3d_tpu.camera import CameraIntrinsics
+from align3d_tpu.se3 import Transform
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class RgbdImage:
+    """Color (H, W, 3) u8 + depth (H, W) u16 + depth scale (src/image/rgbd_image.rs:13)."""
+
+    color: np.ndarray
+    depth: np.ndarray
+    depth_scale: float | None = None
+
+    @property
+    def width(self) -> int:
+        return self.color.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.color.shape[0]
+
+
+@dataclasses.dataclass
+class RgbdFrame:
+    """Camera intrinsics + optional GT pose + RGB-D image (src/image/rgbd_image.rs:62)."""
+
+    camera: CameraIntrinsics
+    image: RgbdImage
+    camera_to_world: Transform | None = None
+
+
+def rgb_to_luma(r, g, b):
+    """Normalized [0,1] luma (reference src/image/luma.rs:75-79)."""
+    return (r * 0.3 + g * 0.59 + b * 0.11) * (1.0 / 255.0)
+
+
+def rgb_to_luma_u8(rgb: Array) -> Array:
+    """(..., 3) u8 RGB -> (...,) u8 luma, truncating like Rust ``as u8``.
+
+    Reference src/image/luma.rs:81-83.
+    """
+    rgb = rgb.astype(jnp.float32)
+    luma = rgb[..., 0] * 0.3 + rgb[..., 1] * 0.59 + rgb[..., 2] * 0.11
+    return luma.astype(jnp.uint8)  # f32 -> u8 truncates toward zero
+
+
+def _blur_offsets_weights(sigma: float) -> tuple[int, int, np.ndarray]:
+    """Integer tap offsets + normalized Gaussian weights.
+
+    Mirrors the windowing of ``image::imageops::sample``: for ratio-1
+    resampling the window is ``floor(0.5 - 2s) ..= ceil(0.5 + 2s) - 1`` around
+    each pixel, with weights ``gaussian(offset)`` normalized to sum 1.
+    """
+    sigma = 1.0 if sigma <= 0.0 else sigma
+    support = 2.0 * sigma
+    lo = int(math.floor(0.5 - support))
+    hi = int(math.ceil(0.5 + support))  # exclusive
+    offs = np.arange(lo, hi)
+    w = np.exp(-(offs.astype(np.float64) ** 2) / (2.0 * sigma * sigma))
+    w /= w.sum()
+    return lo, hi, w.astype(np.float32)
+
+
+def gaussian_blur(image: Array, sigma: float) -> Array:
+    """Separable Gaussian blur with replicated borders; f32 in/out.
+
+    Vertical pass then horizontal, matching ``imageops::blur``'s order.
+    ``image`` is (H, W) or (H, W, C).
+    """
+    lo, hi, weights = _blur_offsets_weights(sigma)
+    img = image.astype(jnp.float32)
+
+    def pass_axis(x: Array, axis: int) -> Array:
+        n = x.shape[axis]
+        acc = jnp.zeros_like(x)
+        for off, w in zip(range(lo, hi), weights):
+            idx = jnp.clip(jnp.arange(n) + off, 0, n - 1)
+            acc = acc + w * jnp.take(x, idx, axis=axis)
+        return acc
+
+    return pass_axis(pass_axis(img, 0), 1)
+
+
+def py_scale_down(color: Array, sigma: float) -> Array:
+    """Gaussian blur then stride-2 decimation of a (H, W, 3) u8 image.
+
+    Reference ``py_scale_down`` (src/image/rgb.rs:74-84): blur in f32, sample
+    at (2i, 2j), truncate back to u8.
+    """
+    blurred = gaussian_blur(color, sigma)
+    h, w = color.shape[0] // 2, color.shape[1] // 2
+    sampled = blurred[: 2 * h : 2, : 2 * w : 2]
+    return jnp.clip(sampled, 0.0, 255.0).astype(jnp.uint8)
+
+
+def normalize_to_luma_u8(image: Array) -> Array:
+    """f32 image -> u8 via (x - min) / (max - min) * 255 (src/image/luma.rs:9-27)."""
+    image = image.astype(jnp.float32)
+    mx = jnp.max(image)
+    mn = jnp.min(image)
+    return (((image - mn) / (mx - mn)) * 255.0).astype(jnp.uint8)

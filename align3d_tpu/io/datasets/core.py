@@ -1,0 +1,70 @@
+"""Dataset protocol + subset wrapper (reference ``src/io/dataset/core.rs``)."""
+
+from __future__ import annotations
+
+from typing import Protocol, Sequence, runtime_checkable
+
+import numpy as np
+from PIL import Image
+
+from align3d_tpu.camera import CameraIntrinsics
+from align3d_tpu.image import RgbdFrame
+from align3d_tpu.se3 import Transform
+from align3d_tpu.trajectory import Trajectory
+
+
+class DatasetError(Exception):
+    pass
+
+
+@runtime_checkable
+class RgbdDataset(Protocol):
+    """Protocol mirroring the reference trait (core.rs:47-53)."""
+
+    def __len__(self) -> int: ...
+
+    def get(self, index: int) -> RgbdFrame: ...
+
+    def trajectory(self) -> Trajectory | None: ...
+
+    def camera(self, index: int) -> tuple[CameraIntrinsics, Transform | None]: ...
+
+
+class SubsetDataset:
+    """Index-remapping wrapper incl. trajectory re-basing (core.rs:55-93)."""
+
+    def __init__(self, dataset: RgbdDataset, indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def get(self, index: int) -> RgbdFrame:
+        return self.dataset.get(self.indices[index])
+
+    def trajectory(self) -> Trajectory | None:
+        orig = self.dataset.trajectory()
+        if orig is None:
+            return None
+        poses = [orig.camera_to_world[i] for i in self.indices]
+        return Trajectory.from_list(poses, np.arange(len(poses), dtype=np.float32))
+
+    def camera(self, index: int):
+        return self.dataset.camera(self.indices[index])
+
+
+def load_rgb(path) -> np.ndarray:
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+
+
+def load_depth_u16(path) -> np.ndarray:
+    img = Image.open(path)
+    arr = np.asarray(img)
+    if arr.dtype == np.uint16:
+        return arr
+    if arr.dtype == np.int32:  # PIL mode "I" for 16-bit PNG
+        return arr.astype(np.uint16)
+    if arr.dtype == np.uint8:
+        return arr.astype(np.uint16)
+    raise DatasetError(f"unsupported depth dtype {arr.dtype} for {path}")

@@ -1,0 +1,168 @@
+"""PLY read/write (reference ``src/io/ply.rs``).
+
+Self-contained parser/writer — reads ASCII and binary little/big-endian PLY
+with the vertex properties the reference understands (x/y/z, nx/ny/nz,
+red/green/blue) and triangular faces (quads are rejected as in the
+reference's typed parser); writes ASCII PLY with optional normals, colors
+and faces matching the reference's element layout (ply.rs:144-236).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from align3d_tpu.io.geometry import Geometry
+
+_DTYPES = {
+    "char": "i1",
+    "int8": "i1",
+    "uchar": "u1",
+    "uint8": "u1",
+    "short": "i2",
+    "int16": "i2",
+    "ushort": "u2",
+    "uint16": "u2",
+    "int": "i4",
+    "int32": "i4",
+    "uint": "u4",
+    "uint32": "u4",
+    "float": "f4",
+    "float32": "f4",
+    "double": "f8",
+    "float64": "f8",
+}
+
+
+class PlyError(ValueError):
+    pass
+
+
+def read_ply(filepath) -> Geometry:
+    with open(filepath, "rb") as f:
+        data = f.read()
+
+    header_end = data.find(b"end_header")
+    if header_end < 0:
+        raise PlyError("missing end_header")
+    header_end = data.index(b"\n", header_end) + 1
+    header = data[:header_end].decode("ascii", errors="replace").splitlines()
+    body = data[header_end:]
+
+    fmt = None
+    elements: list[tuple[str, int, list]] = []  # (name, count, props)
+    for line in header:
+        tok = line.strip().split()
+        if not tok:
+            continue
+        if tok[0] == "format":
+            fmt = tok[1]
+        elif tok[0] == "element":
+            elements.append((tok[1], int(tok[2]), []))
+        elif tok[0] == "property":
+            if tok[1] == "list":
+                elements[-1][2].append((tok[4], "list", tok[2], tok[3]))
+            else:
+                elements[-1][2].append((tok[3], "scalar", tok[1]))
+
+    points = normals = colors = faces = None
+    offset = 0
+    ascii_lines = body.decode("ascii").split("\n") if fmt == "ascii" else None
+    ascii_idx = 0
+    endian = "<" if fmt == "binary_little_endian" else ">"
+
+    for name, count, props in elements:
+        if name == "vertex":
+            cols = {}
+            if fmt == "ascii":
+                rows = []
+                for _ in range(count):
+                    rows.append(ascii_lines[ascii_idx].split())
+                    ascii_idx += 1
+                arr = np.asarray(rows, dtype=np.float64)
+                for ci, p in enumerate(props):
+                    cols[p[0]] = arr[:, ci]
+            else:
+                np_dtype = np.dtype([(p[0], endian + _DTYPES[p[2]]) for p in props])
+                arr = np.frombuffer(body, dtype=np_dtype, count=count, offset=offset)
+                offset += np_dtype.itemsize * count
+                for p in props:
+                    cols[p[0]] = arr[p[0]].astype(np.float64)
+
+            points = np.stack([cols["x"], cols["y"], cols["z"]], axis=1).astype(np.float32)
+            if all(k in cols for k in ("nx", "ny", "nz")):
+                normals = np.stack([cols["nx"], cols["ny"], cols["nz"]], axis=1).astype(
+                    np.float32
+                )
+            if all(k in cols for k in ("red", "green", "blue")):
+                colors = np.stack(
+                    [cols["red"], cols["green"], cols["blue"]], axis=1
+                ).astype(np.uint8)
+        elif name == "face":
+            rows = []
+            if fmt == "ascii":
+                for _ in range(count):
+                    tok = ascii_lines[ascii_idx].split()
+                    ascii_idx += 1
+                    n = int(tok[0])
+                    rows.append([int(t) for t in tok[1 : 1 + n]])
+            else:
+                cnt_dt, idx_dt = props[0][2], props[0][3]
+                cnt_size = int(_DTYPES[cnt_dt][1])
+                idx_size = int(_DTYPES[idx_dt][1])
+                for _ in range(count):
+                    n = int(
+                        np.frombuffer(
+                            body, dtype=endian + _DTYPES[cnt_dt], count=1, offset=offset
+                        )[0]
+                    )
+                    offset += cnt_size
+                    idx = np.frombuffer(
+                        body, dtype=endian + _DTYPES[idx_dt], count=n, offset=offset
+                    )
+                    offset += idx_size * n
+                    rows.append([int(i) for i in idx])
+            for r in rows:
+                if len(r) != 3:
+                    raise PlyError("only triangular faces are supported")
+            faces = np.asarray(rows, dtype=np.int64)
+        else:
+            raise PlyError(f"Unexpected element {name}")
+
+    if points is None:
+        raise PlyError("no vertex element")
+    return Geometry(points=points, normals=normals, colors=colors, faces=faces)
+
+
+def write_ply(filepath, geom: Geometry) -> None:
+    """ASCII PLY writer matching the reference's layout (ply.rs:144-236)."""
+    n = geom.len_vertices()
+    lines = ["ply", "format ascii 1.0"]
+    lines.append(f"element vertex {n}")
+    lines += [f"property float {k}" for k in ("x", "y", "z")]
+    if geom.normals is not None:
+        lines += [f"property float {k}" for k in ("nx", "ny", "nz")]
+    if geom.colors is not None:
+        lines += [f"property uchar {k}" for k in ("red", "green", "blue")]
+    if geom.faces is not None:
+        lines.append(f"element face {geom.len_faces()}")
+        lines.append("property list uchar int vertex_indices")
+    lines.append("end_header")
+
+    pts = np.asarray(geom.points, np.float32)
+    nrm = None if geom.normals is None else np.asarray(geom.normals, np.float32)
+    col = None if geom.colors is None else np.asarray(geom.colors, np.uint8)
+    for i in range(n):
+        row = [f"{pts[i, 0]} {pts[i, 1]} {pts[i, 2]}"]
+        if nrm is not None:
+            row.append(f"{nrm[i, 0]} {nrm[i, 1]} {nrm[i, 2]}")
+        if col is not None:
+            row.append(f"{col[i, 0]} {col[i, 1]} {col[i, 2]}")
+        lines.append(" ".join(row))
+    if geom.faces is not None:
+        for f in np.asarray(geom.faces):
+            lines.append(f"3 {f[0]} {f[1]} {f[2]}")
+
+    with open(filepath, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
