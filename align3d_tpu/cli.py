@@ -1,0 +1,94 @@
+"""Command-line interface.
+
+Counterpart of the reference's example binaries (``examples/src/bin/``):
+
+* ``odometry`` — frame-to-frame odometry with trajectory metrics
+  (odometry.rs: format/dataset/max_frames args + progress bar);
+* ``viewer`` — render dataset frames + trajectory to PNG (the headless
+  stand-in for the Vulkan dataset viewer).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _progress_printer(total_width: int = 40):
+    def show(i, n):
+        done = int(total_width * i / n)
+        bar = "#" * done + "-" * (total_width - done)
+        print(f"\rProcessing frames [{bar}] {i}/{n}", end="", file=sys.stderr)
+        if i == n:
+            print(file=sys.stderr)
+
+    return show
+
+
+def cmd_odometry(args) -> int:
+    from align3d_tpu.icp.params import MsIcpParams
+    from align3d_tpu.io.datasets import SubsetDataset, load_dataset
+    from align3d_tpu.odometry import run_odometry
+    from align3d_tpu.ops.bilateral import BilateralFilter
+    from align3d_tpu.range_image import RangeImageBuilder
+
+    dataset = load_dataset(args.format, args.dataset)
+    if args.max_frames is not None:
+        dataset = SubsetDataset(dataset, range(args.max_frames))
+
+    builder = RangeImageBuilder(
+        bilateral_filter=None if args.no_bilateral else BilateralFilter()
+    )
+    result = run_odometry(
+        dataset,
+        range_builder=builder,
+        icp_params=MsIcpParams.default(),
+        progress=_progress_printer() if not args.quiet else None,
+    )
+    if result.metrics is not None:
+        print(f"Mean trajectory error: {result.metrics}")
+    print(f"Seconds per frame: {result.seconds_per_frame:.4f}")
+
+    if args.save_trajectory:
+        with open(args.save_trajectory, "w") as f:
+            f.write(result.trajectory.to_tum())
+        print(f"Trajectory written to {args.save_trajectory} (TUM format)")
+    return 0
+
+
+def cmd_viewer(args) -> int:
+    from align3d_tpu.viz.dataset_viewer import render_dataset_preview
+
+    out = render_dataset_preview(
+        args.format, args.dataset, args.output, max_frames=args.max_frames
+    )
+    print(f"Wrote {out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="align3d_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_odo = sub.add_parser("odometry", help="frame-to-frame odometry over a dataset")
+    p_odo.add_argument("format", help="dataset format: ilrgbd, tum, or slamtb")
+    p_odo.add_argument("dataset", help="path to the dataset directory")
+    p_odo.add_argument("max_frames", nargs="?", type=int, default=None)
+    p_odo.add_argument("--no-bilateral", action="store_true")
+    p_odo.add_argument("--quiet", "-q", action="store_true")
+    p_odo.add_argument("--save-trajectory", metavar="PATH")
+    p_odo.set_defaults(fn=cmd_odometry)
+
+    p_view = sub.add_parser("viewer", help="render dataset + trajectory preview PNG")
+    p_view.add_argument("format")
+    p_view.add_argument("dataset")
+    p_view.add_argument("--output", "-o", default="dataset_preview.png")
+    p_view.add_argument("--max-frames", type=int, default=None)
+    p_view.set_defaults(fn=cmd_viewer)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+"""Bilateral grid tests with golden values from the reference
+(``src/bilateral/grid.rs:169-195``): grid dims (138, 104, 173, 2) on the
+bloei u16 fixture and sliced pixel [421, 123] == 2266 (splat+normalize+slice,
+no blur). The sliced pixel allows +-1 for f32-vs-f64 grid accumulation."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from align3d_tpu.ops.bilateral import BilateralFilter, BilateralGrid
+
+
+def test_grid_dims_golden(bloei_luma16):
+    grid = BilateralGrid.from_image(jnp.asarray(bloei_luma16), 4.5, 30.0)
+    assert grid.dim == (138, 104, 173, 2)
+
+
+def _oracle_splat_normalize_slice(img: np.ndarray, pixels) -> list[float]:
+    """Faithful f64 numpy replication of grid.rs splat+normalize+trilinear."""
+    ss, sc, pad = 4.5, 30.0, 2
+    h, w = img.shape
+    gh, gw = int((h - 1) / ss) + 1 + 2 * pad, int((w - 1) / ss) + 1 + 2 * pad
+    cmin, cmax = int(img.min()), int(img.max())
+    gd = int((cmax - cmin) / sc) + 1 + 2 * pad
+    grid = np.zeros((gh, gw, gd, 2))
+    inv_ss, inv_sc = 1 / ss, 1 / sc
+    rows = (np.arange(h) * inv_ss + 0.5).astype(int) + pad
+    cols = (np.arange(w) * inv_ss + 0.5).astype(int) + pad
+    for r in range(h):
+        for c in range(w):
+            v = int(img[r, c])
+            if v <= 0:
+                continue
+            ch = int((v - cmin) * inv_sc + 0.5) + pad
+            grid[rows[r], cols[c], ch, 0] += v
+            grid[rows[r], cols[c], ch, 1] += 1
+    nz = grid[..., 1] > 0
+    grid[..., 0][nz] /= grid[..., 1][nz]
+
+    def tri(row, col, chan):
+        z0, z1, za = min(int(chan), gd - 1), min(int(chan + 1), gd - 1), 0.0
+        za = chan - z0
+        y0, y1, ya = min(int(row), gh - 1), min(int(row + 1), gh - 1), 0.0
+        ya = row - y0
+        x0, x1, xa = min(int(col), gw - 1), min(int(col + 1), gw - 1), 0.0
+        xa = col - x0
+        g = grid[..., 0]
+        return (
+            (1 - ya) * (1 - xa) * (1 - za) * g[y0, x0, z0]
+            + (1 - ya) * xa * (1 - za) * g[y0, x1, z0]
+            + ya * (1 - xa) * (1 - za) * g[y1, x0, z0]
+            + ya * xa * (1 - za) * g[y1, x1, z0]
+            + (1 - ya) * (1 - xa) * za * g[y0, x0, z1]
+            + (1 - ya) * xa * za * g[y0, x1, z1]
+            + ya * (1 - xa) * za * g[y1, x0, z1]
+            + ya * xa * za * g[y1, x1, z1]
+        )
+
+    return [
+        tri(r * inv_ss + pad, c * inv_ss + pad, (int(img[r, c]) - cmin) * inv_sc + pad)
+        for r, c in pixels
+    ]
+
+
+def test_slice_golden(bloei_luma16):
+    """The reference's golden is px[421,123] == 2266 (grid.rs:193) — that exact
+    value depends on the Rust jpeg decoder's pixel values, which differ from
+    PIL's by +-1 luma (the pixel sits on a grid-cell boundary). We therefore
+    check our f32 pipeline against a faithful f64 oracle on OUR decode at
+    several pixels, plus a band assertion tying it to the reference value."""
+    grid = BilateralGrid.from_image(jnp.asarray(bloei_luma16), 4.5, 30.0)
+    sliced = np.asarray(grid.normalize().slice(jnp.asarray(bloei_luma16)))
+    assert sliced.shape == (600, 450)
+
+    pixels = [(421, 123), (100, 200), (0, 0), (599, 449), (300, 10)]
+    oracle = _oracle_splat_normalize_slice(bloei_luma16, pixels)
+    for (r, c), expect in zip(pixels, oracle):
+        assert abs(int(sliced[r, c]) - int(expect)) <= 1, ((r, c), sliced[r, c], expect)
+
+    # Reference decode gives 2266 at [421,123]; ours lands within the same
+    # grid-cell neighborhood.
+    assert abs(int(sliced[421, 123]) - 2266) < 300
+
+
+def test_padded_depth_matches_exact(bloei_luma16):
+    img = jnp.asarray(bloei_luma16)
+    exact = BilateralGrid.from_image(img, 4.5, 30.0).normalize().slice(img)
+    padded = (
+        BilateralGrid.from_image(img, 4.5, 30.0, pad_depth_to=16).normalize().slice(img)
+    )
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(padded))
+
+
+def test_filter_preserves_flat_regions():
+    # A constant-depth image must be (nearly) unchanged by the filter.
+    img = jnp.full((64, 64), 1000, jnp.uint16)
+    out = BilateralFilter().filter(img)
+    assert np.abs(np.asarray(out).astype(np.int64) - 1000).max() <= 1
+
+
+def test_filter_smooths_noise_keeps_edges():
+    rng = np.random.default_rng(0)
+    depth = np.full((96, 96), 2000, np.int64)
+    depth[:, 48:] = 4000  # step edge
+    noisy = depth + rng.integers(-30, 30, size=depth.shape)
+    out = np.asarray(BilateralFilter().filter(jnp.asarray(noisy.astype(np.uint16))))
+
+    # Noise within each region shrinks...
+    left = out[:, 8:40].astype(np.int64)
+    assert np.abs(left - left.mean()).std() < 15
+    # ...but the edge stays sharp (values near the edge stay in-region).
+    assert np.abs(out[:, 44:46].astype(np.int64) - 2000).max() < 300
+    assert np.abs(out[:, 50:52].astype(np.int64) - 4000).max() < 300
+
+
+def test_filter_keeps_holes():
+    # Zero-depth pixels slice at the zero intensity channel, which is never
+    # splatted (the reference skips color <= 0 in the splat) — holes stay
+    # (near) zero and the validity mask is effectively preserved.
+    img = np.full((64, 64), 3000, np.uint16)
+    img[30:32, 30:32] = 0
+    out = np.asarray(BilateralFilter().filter(jnp.asarray(img)))
+    assert out[31, 31] < 100
+    assert abs(int(out[10, 10]) - 3000) <= 1
+
+
+def test_scale_down():
+    img = jnp.full((64, 64), 1500, jnp.uint16)
+    half = BilateralFilter().scale_down(img)
+    assert half.shape == (32, 32)
