@@ -132,8 +132,7 @@ def icp_step(
     return geom, color
 
 
-@partial(jax.jit, static_argnames=("intrinsics", "params"))
-def _align_jit(
+def align_impl(
     initial_rotation: Array,
     initial_translation: Array,
     source_points: Array,
@@ -187,6 +186,9 @@ def _align_jit(
         0, params.max_iterations, body, init
     )
     return best_rot, best_trans, best_res
+
+
+_align_jit = partial(jax.jit, static_argnames=("intrinsics", "params"))(align_impl)
 
 
 class ImageIcp:

@@ -1,0 +1,21 @@
+"""Scale-out: frame-pair batching, device-mesh sharding, distributed pose graph.
+
+The reference has no distributed story (SURVEY.md §2.6 — rayon threads only);
+this package is the beyond-reference scale layer: ``vmap`` over frame pairs,
+``jax.sharding`` data-parallelism over a device mesh, ``associative_scan``
+odometry composition, and a sharded pose-graph Gauss-Newton refinement.
+"""
+
+from align3d_tpu.parallel.batch import (
+    build_pyramids_batched,
+    multiscale_align_batched,
+    odometry_step,
+    make_mesh,
+)
+
+__all__ = [
+    "build_pyramids_batched",
+    "multiscale_align_batched",
+    "odometry_step",
+    "make_mesh",
+]

@@ -187,18 +187,7 @@ class RangeImageBuilder:
         )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "with_normals",
-        "with_intensity",
-        "pyramid_levels",
-        "blur_sigma",
-        "intrinsics",
-        "depth_scale",
-    ),
-)
-def _build_pyramid(
+def build_pyramid_impl(
     with_normals: bool,
     with_intensity: bool,
     pyramid_levels: int,
@@ -208,7 +197,7 @@ def _build_pyramid(
     color: Array,
     depth: Array,
 ) -> list[RangeImage]:
-    """Jitted pyramid construction (builder.rs:74-91 ordering).
+    """Pyramid construction (builder.rs:74-91 ordering); pure & vmappable.
 
     Normals are computed at full resolution then downsampled with the points;
     intensity (+map) is computed per level from that level's colors.
@@ -220,6 +209,19 @@ def _build_pyramid(
     if with_intensity:
         levels = [ri.with_intensity().with_intensity_map() for ri in levels]
     return levels
+
+
+_build_pyramid = partial(
+    jax.jit,
+    static_argnames=(
+        "with_normals",
+        "with_intensity",
+        "pyramid_levels",
+        "blur_sigma",
+        "intrinsics",
+        "depth_scale",
+    ),
+)(build_pyramid_impl)
 
 
 def range_image_to_pointcloud(ri: RangeImage) -> dict:
