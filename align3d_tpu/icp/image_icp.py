@@ -34,7 +34,11 @@ import jax.numpy as jnp
 
 from align3d_tpu.camera import CameraIntrinsics
 from align3d_tpu.icp.params import IcpParams
-from align3d_tpu.ops.intensity import bilinear_grad
+from align3d_tpu.ops.target_pack import (
+    pack_geometry,
+    pack_intensity_taps,
+    taps_bilinear_grad,
+)
 from align3d_tpu.optim.gauss_newton import GNSystem
 from align3d_tpu.range_image import RangeImage
 from align3d_tpu.se3 import Transform
@@ -52,15 +56,19 @@ def icp_step(
     source_points: Array,  # (N, 3)
     source_mask: Array,  # (N,) bool
     source_intensity: Array,  # (N,) u8
-    target_points: Array,  # (N, 3) flattened (H, W)
-    target_mask: Array,  # (N,) bool
-    target_normals: Array,  # (N, 3)
-    target_intensity_map: Array,  # (H+2, W+2) f32
-    intrinsics: CameraIntrinsics,
-    params: IcpParams,
+    target_geo: Array,  # (N, 8) packed [p, n, valid, pad] (target_pack)
+    target_taps: Array,  # (N, 12) packed 3x3 intensity taps
+    h: int,  # target image dims — from array shapes, NOT intrinsics:
+    w: int,  # the reference bound-checks against the level's array dims
+    intrinsics: CameraIntrinsics,  # (image_icp.rs:109 get_point), while
+    params: IcpParams,  # intrinsics.scale keeps size (camera.rs:119-127)
 ) -> tuple[GNSystem, GNSystem]:
-    """One fused GN accumulation pass; returns (geometric, color) systems."""
-    h, w = intrinsics.height, intrinsics.width
+    """One fused GN accumulation pass; returns (geometric, color) systems.
+
+    Gather budget: exactly two row gathers (the packed geometry table at the
+    nearest projected pixel and the packed tap table at the bilinear base) —
+    everything else is dense VPU/MXU work.
+    """
     fdtype = jnp.float32
 
     p = transform.apply(source_points)  # (N, 3)
@@ -78,9 +86,10 @@ def icp_step(
     vi = jnp.clip(v_int, 0, h - 1).astype(jnp.int32)
     idx = vi * w + ui
 
-    tp = jnp.take(target_points, idx, axis=0)  # (N, 3)
-    tn = jnp.take(target_normals, idx, axis=0)
-    tvalid = jnp.take(target_mask, idx, axis=0)
+    geo = jnp.take(target_geo, idx, axis=0)  # (N, 8)
+    tp = geo[:, 0:3]
+    tn = geo[:, 3:6]
+    tvalid = geo[:, 6] > 0.0
 
     valid = source_mask & inbounds & tvalid
 
@@ -110,7 +119,9 @@ def icp_step(
     # trunc(u) <= w - 1.
     u_s = jnp.clip(u, 0.0, fdtype(w - 1))
     v_s = jnp.clip(v, 0.0, fdtype(h - 1))
-    target_color, du, dv = bilinear_grad(target_intensity_map, u_s, v_s)
+    base = jnp.trunc(v_s).astype(jnp.int32) * w + jnp.trunc(u_s).astype(jnp.int32)
+    taps = jnp.take(target_taps, base, axis=0)  # (N, 12)
+    target_color, du, dv = taps_bilinear_grad(taps, u_s, v_s)
     source_color = source_intensity.astype(fdtype) * fdtype(0.003921569)  # 1/255
 
     zz = safe_z * safe_z
@@ -146,6 +157,14 @@ def align_impl(
     params: IcpParams,
 ) -> tuple[Array, Array, Array]:
     """Full ICP align as one compiled loop. Returns (best_R, best_t, best_residual)."""
+    h2, w2 = target_intensity_map.shape
+    h, w = h2 - 2, w2 - 2
+    target_geo = pack_geometry(
+        target_points.reshape(h, w, 3),
+        target_normals.reshape(h, w, 3),
+        target_mask.reshape(h, w),
+    )
+    target_taps = pack_intensity_taps(target_intensity_map)
 
     def body(_, carry):
         rot, trans, best_res, best_rot, best_trans = carry
@@ -155,10 +174,10 @@ def align_impl(
             source_points,
             source_mask,
             source_intensity,
-            target_points,
-            target_mask,
-            target_normals,
-            target_intensity_map,
+            target_geo,
+            target_taps,
+            h,
+            w,
             intrinsics,
             params,
         )
