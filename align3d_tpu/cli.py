@@ -39,10 +39,13 @@ def cmd_odometry(args) -> int:
     builder = RangeImageBuilder(
         bilateral_filter=None if args.no_bilateral else BilateralFilter()
     )
+    params = (
+        MsIcpParams.default_tpu() if args.engine == "pallas" else MsIcpParams.default()
+    )
     result = run_odometry(
         dataset,
         range_builder=builder,
-        icp_params=MsIcpParams.default(),
+        icp_params=params,
         progress=_progress_printer() if not args.quiet else None,
     )
     if result.metrics is not None:
@@ -75,6 +78,13 @@ def main(argv=None) -> int:
     p_odo.add_argument("dataset", help="path to the dataset directory")
     p_odo.add_argument("max_frames", nargs="?", type=int, default=None)
     p_odo.add_argument("--no-bilateral", action="store_true")
+    p_odo.add_argument(
+        "--engine",
+        choices=("xla", "pallas"),
+        default="xla",
+        help="ICP engine: exact XLA gathers, or the fused banded Pallas "
+        "kernel on the fine pyramid levels (TPU)",
+    )
     p_odo.add_argument("--quiet", "-q", action="store_true")
     p_odo.add_argument("--save-trajectory", metavar="PATH")
     p_odo.set_defaults(fn=cmd_odometry)

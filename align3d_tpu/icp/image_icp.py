@@ -207,7 +207,130 @@ def align_impl(
     return best_rot, best_trans, best_res
 
 
-_align_jit = partial(jax.jit, static_argnames=("intrinsics", "params"))(align_impl)
+def align_impl_pallas(
+    initial_rotation: Array,
+    initial_translation: Array,
+    source_points: Array,
+    source_mask: Array,
+    source_intensity: Array,
+    target_points: Array,
+    target_mask: Array,
+    target_normals: Array,
+    target_intensity_map: Array,
+    intrinsics: CameraIntrinsics,
+    params: IcpParams,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """align_impl on the fused banded-gather Pallas kernel.
+
+    Same GN loop and best-residual semantics; the per-iteration accumulation
+    runs in align3d_tpu/ops/icp_pallas.py. The displacement band is seeded
+    from the initial transform and then tracked from each iteration's own
+    projection statistics (one iteration of lag, absorbed by the band halo).
+    """
+    from align3d_tpu.ops import icp_pallas
+
+    if params.huber_delta is not None:
+        raise NotImplementedError("huber_delta is not supported by the pallas engine")
+
+    h2, w2 = target_intensity_map.shape
+    h, w = h2 - 2, w2 - 2
+    sp = icp_pallas.pack_source(
+        source_points.reshape(h, w, 3),
+        source_mask.reshape(h, w),
+        source_intensity.reshape(h, w),
+    )
+    tp = icp_pallas.pack_target(
+        target_points.reshape(h, w, 3),
+        target_normals.reshape(h, w, 3),
+        target_mask.reshape(h, w),
+        target_intensity_map,
+    )
+    hp = sp.shape[0]
+    pt = (params.max_distance, params.max_normal_angle, params.max_color_distance)
+    cb0, dyb0 = icp_pallas.predict_bases(
+        initial_rotation, initial_translation, sp, intrinsics, h
+    )
+
+    def body(_, carry):
+        rot, trans, cb, dyb, best_res, best_rot, best_trans = carry
+        geo_aug, col_aug, stats = icp_pallas.icp_step_pallas(
+            rot, trans, cb, dyb, sp, tp, intrinsics, h, w, pt, interpret
+        )
+        geom = GNSystem(
+            geo_aug[0:6, 0:6], geo_aug[0:6, 6], geo_aug[6, 6], geo_aug[7, 7]
+        )
+        color = GNSystem(
+            col_aug[0:6, 0:6], col_aug[0:6, 6], col_aug[6, 6], col_aug[7, 7]
+        )
+        merged = geom.add_weighted(
+            color, jnp.float32(params.weight), jnp.float32(params.color_weight)
+        )
+        residual = merged.mean_squared_residual()
+        update = merged.solve()
+        new_transform = Transform.exp(update) @ Transform(rot, trans)
+        cb2, dyb2 = icp_pallas.bases_from_stats(stats, dyb, hp)
+
+        better = residual < best_res
+        best_res = jnp.where(better, residual, best_res)
+        best_rot = jnp.where(better, new_transform.rotation, best_rot)
+        best_trans = jnp.where(better, new_transform.translation, best_trans)
+        return (
+            new_transform.rotation,
+            new_transform.translation,
+            cb2,
+            dyb2,
+            best_res,
+            best_rot,
+            best_trans,
+        )
+
+    init = (
+        initial_rotation,
+        initial_translation,
+        cb0,
+        dyb0,
+        jnp.float32(jnp.inf),
+        initial_rotation,
+        initial_translation,
+    )
+    out = jax.lax.fori_loop(0, params.max_iterations, body, init)
+    return out[5], out[6], out[4]
+
+
+def align_dispatch(
+    initial_rotation: Array,
+    initial_translation: Array,
+    source_points: Array,
+    source_mask: Array,
+    source_intensity: Array,
+    target_points: Array,
+    target_mask: Array,
+    target_normals: Array,
+    target_intensity_map: Array,
+    intrinsics: CameraIntrinsics,
+    params: IcpParams,
+) -> tuple[Array, Array, Array]:
+    """align_impl with engine selection from ``params.engine``."""
+    impl = align_impl_pallas if params.engine == "pallas" else align_impl
+    return impl(
+        initial_rotation,
+        initial_translation,
+        source_points,
+        source_mask,
+        source_intensity,
+        target_points,
+        target_mask,
+        target_normals,
+        target_intensity_map,
+        intrinsics,
+        params,
+    )
+
+
+_align_jit = partial(jax.jit, static_argnames=("intrinsics", "params"))(
+    align_dispatch
+)
 
 
 class ImageIcp:

@@ -26,6 +26,12 @@ class IcpParams:
     # Huber robust weighting — present-but-unwired in the reference
     # (robust_estimator.rs); default off for parity.
     huber_delta: float | None = None
+    # Compute engine: "xla" = exact projective association via packed XLA
+    # gathers (works for any displacement); "pallas" = fused banded-gather
+    # TPU kernel (align3d_tpu/ops/icp_pallas.py) — ~5x faster per iteration,
+    # association limited to a tracked displacement band, so use it on fine
+    # pyramid levels where coarse levels have already removed bulk motion.
+    engine: str = "xla"
 
     def replace(self, **kw) -> "IcpParams":
         return dataclasses.replace(self, **kw)
@@ -59,6 +65,15 @@ class MsIcpParams:
         iters = {0: 20, 1: 20, 2: 30}
         return cls.repeat(3, base).customize(
             lambda i, p: p.replace(max_iterations=iters.get(i, p.max_iterations))
+        )
+
+    @classmethod
+    def default_tpu(cls) -> "MsIcpParams":
+        """The reference defaults with the fused Pallas engine on the two
+        finest levels (where the pixel counts dominate the cost and coarse
+        alignment has already bounded the displacement for the band)."""
+        return cls.default().customize(
+            lambda i, p: p.replace(engine="pallas") if i < 2 else p
         )
 
     def __len__(self) -> int:

@@ -55,10 +55,26 @@ class SubsetDataset:
 
 
 def load_rgb(path) -> np.ndarray:
+    """Decode a color frame: native C++ (libjpeg/libpng) when built, PIL
+    otherwise (align3d_tpu/io/native_loader.py)."""
+    from align3d_tpu.io import native_loader
+
+    if native_loader.available():
+        try:
+            return native_loader.decode_rgb(str(path))
+        except IOError:
+            pass  # fall back for exotic formats
     return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
 
 
 def load_depth_u16(path) -> np.ndarray:
+    from align3d_tpu.io import native_loader
+
+    if str(path).lower().endswith(".png") and native_loader.available():
+        try:
+            return native_loader.decode_depth(str(path))
+        except IOError:
+            pass
     img = Image.open(path)
     arr = np.asarray(img)
     if arr.dtype == np.uint16:

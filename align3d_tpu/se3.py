@@ -187,6 +187,56 @@ class Transform:
         translation = jnp.einsum("...ij,...j->...i", v_jac, v)
         return cls(rot, translation)
 
+    def log(self) -> Array:
+        """se(3) logarithm: the twist ``[vx, vy, vz, wx, wy, wz]`` with
+        ``Transform.exp(T.log()) == T``. Inverse of :meth:`exp`; used by the
+        pose-graph residuals (align3d_tpu/parallel/pose_graph.py). Taylor
+        fallback for small angles mirrors the exp side."""
+        rot = self.rotation
+        trace = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
+        cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+        # Gradient safety: arccos'(1) is infinite and `where` does not stop
+        # NaN gradients from the untaken branch (this function sits under
+        # jax.jacfwd in the pose-graph edge Jacobians), so the small-angle
+        # branch must never see cos_theta near 1 inside arccos.
+        small = cos_theta > 1.0 - 1e-6
+        safe_cos = jnp.where(small, 0.0, cos_theta)
+        theta = jnp.where(small, 0.0, jnp.arccos(safe_cos))
+        # theta^2 to O(theta^4), valid in both branches (used by Taylors).
+        one_m_cos = 1.0 - cos_theta
+        theta_sq = jnp.where(
+            small, 2.0 * one_m_cos * (1.0 + one_m_cos / 6.0), theta * theta
+        )
+        # so(3) log: omega_hat = theta / (2 sin theta) * (R - R^T)
+        sin_theta = jnp.sin(jnp.where(small, 1.0, theta))
+        factor = jnp.where(
+            small,
+            0.5 + theta_sq / 12.0,  # Taylor of theta / (2 sin theta)
+            theta / (2.0 * sin_theta),
+        )
+        skew = rot - jnp.swapaxes(rot, -1, -2)
+        omega = factor[..., None] * jnp.stack(
+            [skew[..., 2, 1], skew[..., 0, 2], skew[..., 1, 0]], axis=-1
+        )
+        # v = V^{-1} t with the closed-form left-Jacobian inverse.
+        big_omega = _skew(omega)
+        big_omega_sq = big_omega @ big_omega
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=rot.dtype), rot.shape)
+        safe_theta = jnp.where(small, 1.0, theta)
+        safe_theta_sq = jnp.where(small, 1.0, theta_sq)
+        coef = jnp.where(
+            small,
+            1.0 / 12.0 + theta_sq / 720.0,
+            (
+                1.0
+                - 0.5 * safe_theta * jnp.cos(0.5 * safe_theta) / jnp.sin(0.5 * safe_theta)
+            )
+            / safe_theta_sq,
+        )
+        v_inv = eye - 0.5 * big_omega + coef[..., None, None] * big_omega_sq
+        v = jnp.einsum("...ij,...j->...i", v_inv, self.translation)
+        return jnp.concatenate([v, omega], axis=-1)
+
     # -- core ops --------------------------------------------------------
     def compose(self, other: "Transform") -> "Transform":
         """``self @ other`` — ``other`` is applied first (src/transform.rs:205-220)."""

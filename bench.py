@@ -1,8 +1,8 @@
-"""Headline benchmark: batched projective ICP throughput on one chip.
+"""Headline benchmark: projective ICP throughput on one chip.
 
 Mirrors the reference's ``benches/bench_image_icp.rs`` workload — one
-640x480 RGB-D pair, 10 GN iterations — but batched (64 pairs per program)
-the way the TPU is meant to be fed. Baseline: 38.576 ms/pair on the
+640x480 RGB-D pair, 10 GN iterations — on the fused banded-gather Pallas
+engine (align3d_tpu/ops/icp_pallas.py). Baseline: 38.576 ms/pair on the
 reference's i7-11800H (README.md:128-134, BASELINE.md).
 
 Prints ONE JSON line:
@@ -18,7 +18,6 @@ import time
 import numpy as np
 
 BASELINE_MS = 38.576
-BATCH = 64
 ITERS = 10
 H, W = 480, 640
 
@@ -28,11 +27,19 @@ def log(*args):
 
 
 def main() -> int:
+    import functools
+
     import jax
+
+    # The Mosaic kernel's first compile through the serving tunnel is slow
+    # (minutes); persist compiled programs so repeat bench runs start fast.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from align3d_tpu.camera import CameraIntrinsics
-    from align3d_tpu.icp.image_icp import align_impl
+    from align3d_tpu.icp.image_icp import align_impl_pallas
     from align3d_tpu.icp.params import IcpParams
     from align3d_tpu.range_image import build_pyramid_impl
 
@@ -57,67 +64,55 @@ def main() -> int:
     )[0]
 
     n = H * W
-    params = IcpParams(max_iterations=ITERS)
-
-    def tile(a):
-        return jnp.broadcast_to(a[None], (BATCH,) + a.shape)
-
-    sp = tile(source.points.reshape(n, 3))
-    sm = tile(source.mask.reshape(n))
-    si = tile(source.intensities.reshape(n))
-    tp = tile(target.points.reshape(n, 3))
-    tm = tile(target.mask.reshape(n))
-    tn = tile(target.normals.reshape(n, 3))
-    tim = tile(target.intensity_map)
-    rot0 = tile(jnp.eye(3))
-    tr0 = tile(jnp.zeros(3))
-
-    vmapped = jax.vmap(
-        lambda r, t, a, b, c, d, e, f, g: align_impl(
-            r, t, a, b, c, d, e, f, g, intr, params
-        )
+    params = IcpParams(max_iterations=ITERS, engine="pallas")
+    args = (
+        source.points.reshape(n, 3),
+        source.mask.reshape(n),
+        source.intensities.reshape(n),
+        target.points.reshape(n, 3),
+        target.mask.reshape(n),
+        target.normals.reshape(n, 3),
+        target.intensity_map,
     )
 
     # The serving tunnel adds ~30 ms of fixed RPC latency per dispatch and
-    # block_until_ready does not block on it — so repetitions run INSIDE one
-    # jitted program (chained through the pose carry so no iteration can be
-    # CSE'd away) and completion is forced by pulling a scalar.
-    REPS = 4
+    # block_until_ready does not block on it — so pair-aligns run INSIDE one
+    # jitted program (chained through the carry so no iteration can be CSE'd
+    # away) and completion is forced by pulling a scalar.
+    PAIRS = 16
 
-    @jax.jit
-    def bench_fn(rot, tr):
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def bench_fn(rot, tr, reps):
         def body(_, carry):
             r, t, acc = carry
-            br, bt, bres = vmapped(r, t, sp, sm, si, tp, tm, tn, tim)
-            return (br, bt, acc + jnp.sum(bres))
-        r, t, acc = jax.lax.fori_loop(0, REPS, body, (rot, tr, jnp.float32(0)))
-        return acc + jnp.sum(r[..., 0, 0]) + jnp.sum(t)
+            br, bt, bres = align_impl_pallas(r, t, *args, intr, params)
+            return (rot, tr + 1e-12 * bres, acc + bres)
 
+        r, t, acc = jax.lax.fori_loop(0, reps, body, (rot, tr, jnp.float32(0)))
+        return acc + jnp.sum(t)
+
+    rot0 = jnp.eye(3)
+    tr0 = jnp.zeros(3)
     t0 = time.perf_counter()
-    _ = float(bench_fn(rot0, tr0))
-    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
-
-    # Fixed dispatch overhead estimate (trivial program round-trip).
-    trivial = jax.jit(lambda x: x + 1.0)
-    _ = float(trivial(jnp.float32(0)))
+    _ = float(bench_fn(rot0, tr0, 1))
+    log(f"compile (1 pair): {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
-    n_trivial = 5
-    for i in range(n_trivial):
-        _ = float(trivial(jnp.float32(i)))
-    rpc_overhead = (time.perf_counter() - t0) / n_trivial
-    log(f"dispatch overhead: {rpc_overhead * 1000:.1f} ms")
+    _ = float(bench_fn(rot0, tr0, 1 + PAIRS))
+    log(f"compile (1+{PAIRS} pairs): {time.perf_counter() - t0:.2f}s")
 
-    calls = 3
-    t0 = time.perf_counter()
-    for i in range(calls):
-        _ = float(bench_fn(rot0, tr0))
-    total = time.perf_counter() - t0
-    compute = max(total - calls * rpc_overhead, 1e-9)
+    def best_of(reps, calls=3):
+        best = 1e9
+        for _ in range(calls):
+            t0 = time.perf_counter()
+            _ = float(bench_fn(rot0, tr0, reps))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    ms_per_pair = compute / (calls * REPS * BATCH) * 1000.0
+    t_lo = best_of(1)
+    t_hi = best_of(1 + PAIRS)
+    ms_per_pair = (t_hi - t_lo) / PAIRS * 1000.0
     log(
-        f"{calls} calls x {REPS} reps x {BATCH} pairs x {ITERS} iters: {total:.3f}s "
-        f"(compute {compute:.3f}s) -> {ms_per_pair:.3f} ms/pair "
+        f"marginal over {PAIRS} pairs x {ITERS} iters: {ms_per_pair:.3f} ms/pair "
         f"({1000.0 / ms_per_pair:.1f} pairs/s)"
     )
 

@@ -1,0 +1,137 @@
+"""Fused Pallas ICP kernel vs the exact XLA path (interpret mode on CPU).
+
+The banded-gather kernel (align3d_tpu/ops/icp_pallas.py) must reproduce the
+XLA engine's accumulation exactly when all displacements fall inside the
+band: identical gate counts and f32-reassociation-level agreement on the
+normal equations and the converged pose.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from align3d_tpu.camera import CameraIntrinsics
+from align3d_tpu.icp.image_icp import align_impl, align_impl_pallas, icp_step
+from align3d_tpu.icp.params import IcpParams
+from align3d_tpu.ops import icp_pallas
+from align3d_tpu.ops.target_pack import pack_geometry, pack_intensity_taps
+from align3d_tpu.range_image import build_pyramid_impl
+from align3d_tpu.se3 import Transform
+
+
+def _pair(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    intr = CameraIntrinsics(
+        fx=0.9 * w, fy=0.9 * w, cx=w / 2 - 0.5, cy=h / 2 - 0.5, width=w, height=h
+    )
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    tex = rng.uniform(30, 220, size=(h, w + 8, 3)).astype(np.uint8)
+    d0 = (2000 + 3 * xs + 2 * ys + rng.integers(0, 5, (h, w))).astype(np.uint16)
+    d1 = (2000 + 3 * (xs + 1) + 2 * ys + rng.integers(0, 5, (h, w))).astype(
+        np.uint16
+    )
+    d0[5:9, 10:20] = 0  # invalid patch exercises the valid gate
+    target = build_pyramid_impl(
+        True, True, 1, 1.0, intr, 0.001, jnp.asarray(tex[:, :w]), jnp.asarray(d0)
+    )[0]
+    source = build_pyramid_impl(
+        True, True, 1, 1.0, intr, 0.001, jnp.asarray(tex[:, 1 : w + 1]), jnp.asarray(d1)
+    )[0]
+    return intr, target, source
+
+
+def test_step_matches_xla_counts_and_systems():
+    h, w = 48, 256
+    intr, target, source = _pair(h, w)
+    params = IcpParams()
+    n = h * w
+    rot, tr = jnp.eye(3), jnp.zeros(3)
+
+    geom, color = icp_step(
+        Transform(rot, tr),
+        source.points.reshape(n, 3),
+        source.mask.reshape(n),
+        source.intensities.reshape(n),
+        pack_geometry(target.points, target.normals, target.mask),
+        pack_intensity_taps(target.intensity_map),
+        h,
+        w,
+        intr,
+        params,
+    )
+
+    sp = icp_pallas.pack_source(source.points, source.mask, source.intensities)
+    tp = icp_pallas.pack_target(
+        target.points, target.normals, target.mask, target.intensity_map
+    )
+    pt = (params.max_distance, params.max_normal_angle, params.max_color_distance)
+    cb, dyb = icp_pallas.predict_bases(rot, tr, sp, intr, h)
+    geo_aug, col_aug, stats = icp_pallas.icp_step_pallas(
+        rot, tr, cb, dyb, sp, tp, intr, h, w, pt, interpret=True
+    )
+
+    # Gating must be IDENTICAL (counts are exact integers); the accumulated
+    # sums differ only by f32 association order (single-pass MXU contraction
+    # vs XLA's reduction tree) — relative ~1e-4 on entries spanning 5 orders
+    # of magnitude.
+    for aug, sys in ((geo_aug, geom), (col_aug, color)):
+        assert float(aug[7, 7]) == float(sys.count)
+        np.testing.assert_allclose(
+            np.asarray(aug[0:6, 0:6]), np.asarray(sys.hessian), rtol=5e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(aug[0:6, 6]), np.asarray(sys.gradient), rtol=5e-4, atol=5e-3
+        )
+        np.testing.assert_allclose(
+            float(aug[6, 6]), float(sys.squared_residual_sum), rtol=1e-4
+        )
+
+    # Stats reduce to usable next-iteration bases.
+    cb2, dyb2 = icp_pallas.bases_from_stats(stats, dyb, sp.shape[0])
+    assert cb2.shape == cb.shape and dyb2.shape == dyb.shape
+
+
+def test_align_matches_xla_pose():
+    h, w = 32, 128
+    intr, target, source = _pair(h, w)
+    params = IcpParams(max_iterations=3)
+    n = h * w
+    args = (
+        jnp.eye(3),
+        jnp.zeros(3),
+        source.points.reshape(n, 3),
+        source.mask.reshape(n),
+        source.intensities.reshape(n),
+        target.points.reshape(n, 3),
+        target.mask.reshape(n),
+        target.normals.reshape(n, 3),
+        target.intensity_map,
+        intr,
+        params,
+    )
+    r_x, t_x, res_x = align_impl(*args)
+    r_p, t_p, res_p = align_impl_pallas(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_x), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=5e-5)
+    np.testing.assert_allclose(float(res_p), float(res_x), rtol=1e-4)
+
+
+def test_pallas_engine_rejects_huber():
+    h, w = 32, 128
+    intr, target, source = _pair(h, w)
+    params = IcpParams(max_iterations=1, huber_delta=0.1, engine="pallas")
+    n = h * w
+    with pytest.raises(NotImplementedError):
+        align_impl_pallas(
+            jnp.eye(3),
+            jnp.zeros(3),
+            source.points.reshape(n, 3),
+            source.mask.reshape(n),
+            source.intensities.reshape(n),
+            target.points.reshape(n, 3),
+            target.mask.reshape(n),
+            target.normals.reshape(n, 3),
+            target.intensity_map,
+            intr,
+            params,
+        )

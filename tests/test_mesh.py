@@ -1,0 +1,56 @@
+"""Mesh vertex-normal tests (reference src/mesh.rs behavior)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from align3d_tpu.ops.mesh import compute_vertex_normals, face_normals
+
+
+def test_single_triangle():
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    faces = jnp.asarray([[0, 1, 2]], dtype=jnp.int32)
+    fn = np.asarray(face_normals(pts, faces))
+    np.testing.assert_allclose(fn, [[0.0, 0.0, 1.0]], atol=1e-7)
+    vn = np.asarray(compute_vertex_normals(pts, faces))
+    np.testing.assert_allclose(vn, [[0, 0, 1]] * 3, atol=1e-7)
+
+
+def test_average_not_renormalized():
+    # Two faces meeting at a ridge: the vertex normal is the MEAN of the two
+    # unit face normals (not re-normalized), as in mesh.rs:44-49.
+    pts = jnp.asarray(
+        [
+            [0.0, 0.0, 0.0],
+            [1.0, 0.0, 0.0],
+            [0.5, 1.0, 1.0],
+            [0.5, -1.0, 1.0],
+        ]
+    )
+    faces = jnp.asarray([[0, 1, 2], [0, 3, 1]], dtype=jnp.int32)
+    fn = np.asarray(face_normals(pts, faces))
+    vn = np.asarray(compute_vertex_normals(pts, faces))
+    expected_ridge = (fn[0] + fn[1]) / 2.0
+    np.testing.assert_allclose(vn[0], expected_ridge, atol=1e-6)
+    np.testing.assert_allclose(vn[1], expected_ridge, atol=1e-6)
+    np.testing.assert_allclose(vn[2], fn[0], atol=1e-6)
+    assert abs(np.linalg.norm(vn[0]) - 1.0) > 1e-3  # mean, not unit
+
+
+def test_degenerate_face_zero_normal():
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    faces = jnp.asarray([[0, 1, 2]], dtype=jnp.int32)
+    fn = np.asarray(face_normals(pts, faces))
+    np.testing.assert_array_equal(fn, np.zeros((1, 3), np.float32))
+
+
+def test_teapot_fixture():
+    from align3d_tpu.io.off import read_off
+
+    geo = read_off("/root/reference/tests/data/teapot.off")
+    vn = np.asarray(
+        compute_vertex_normals(
+            jnp.asarray(geo.points), jnp.asarray(geo.faces.astype(np.int32))
+        )
+    )
+    assert vn.shape == (geo.points.shape[0], 3)
+    assert np.isfinite(vn[np.unique(geo.faces.ravel())]).all()

@@ -1,0 +1,111 @@
+"""SE(3) log + distributed pose-graph optimization tests (SURVEY phase 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from align3d_tpu.parallel import pose_graph as pg
+from align3d_tpu.parallel.batch import make_mesh
+from align3d_tpu.se3 import Transform
+from align3d_tpu.trajectory import Trajectory
+
+
+def test_log_inverts_exp():
+    rng = np.random.default_rng(0)
+    twists = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(-0.5, 0.5, (16, 3)),
+                rng.uniform(-0.8, 0.8, (16, 3)),
+            ],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    t = Transform.exp(twists)
+    back = t.log()
+    np.testing.assert_allclose(np.asarray(back), np.asarray(twists), atol=2e-5)
+
+
+def test_log_small_angle():
+    twist = jnp.asarray([0.01, -0.02, 0.03, 1e-7, -1e-7, 1e-8], jnp.float32)
+    t = Transform.exp(twist)
+    np.testing.assert_allclose(np.asarray(t.log()), np.asarray(twist), atol=1e-6)
+
+
+def _noisy_ring(n=12, seed=0):
+    """Ground-truth poses on a circle; odometry measurements with noise and
+    a perfect loop-closure measurement n-1 -> 0."""
+    rng = np.random.default_rng(seed)
+    gt = []
+    for k in range(n):
+        angle = 2 * np.pi * k / n
+        twist = np.array([np.cos(angle), np.sin(angle), 0, 0, 0, angle], np.float32)
+        gt.append(Transform.exp(jnp.asarray(twist)))
+    from align3d_tpu.se3 import stack
+
+    gt_batch = stack(gt)
+
+    # Odometry: relative poses with noise -> accumulated drifting estimate.
+    noisy_rel = []
+    for k in range(n - 1):
+        rel = gt[k].inverse() @ gt[k + 1]
+        noise = Transform.exp(jnp.asarray(rng.normal(0, 0.02, 6), jnp.float32))
+        noisy_rel.append(rel @ noise)
+    est = [gt[0]]
+    for k in range(n - 1):
+        est.append(est[-1] @ noisy_rel[k])
+    est_batch = stack(est)
+    traj = Trajectory(est_batch, jnp.arange(n, dtype=jnp.float32))
+    return gt_batch, traj, gt, noisy_rel
+
+
+def _pose_err(a: Transform, b: Transform) -> float:
+    d = a.inverse() @ b
+    return float(jnp.max(jnp.linalg.norm(d.log(), axis=-1)))
+
+
+def test_pose_graph_reduces_drift():
+    gt, traj, gt_list, _ = _noisy_ring()
+    n = len(gt_list)
+    # Loop closure: exact relative pose between last and first frames.
+    z = gt_list[0].inverse() @ gt_list[n - 1]
+    refined = pg.refine_trajectory(
+        traj, loop_edges=[(0, n - 1, z, 10.0)], iterations=10
+    )
+    err_before = _pose_err(traj.camera_to_world, gt)
+    err_after = _pose_err(refined.camera_to_world, gt)
+    assert err_after < err_before  # global refinement helps
+    # The loop-closure endpoints now agree with the measurement.
+    d = (
+        refined.camera_to_world[0].inverse() @ refined.camera_to_world[n - 1]
+    ).inverse() @ z
+    assert float(jnp.linalg.norm(d.log())) < 0.02
+
+
+def test_sharded_matches_single_device():
+    gt, traj, gt_list, _ = _noisy_ring(n=9)
+    z = gt_list[0].inverse() @ gt_list[8]
+    single = pg.refine_trajectory(traj, loop_edges=[(0, 8, z, 5.0)], iterations=5)
+    mesh = make_mesh()  # 8 virtual CPU devices; edge count 9 pads to 16
+    sharded = pg.refine_trajectory(
+        traj, loop_edges=[(0, 8, z, 5.0)], iterations=5, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.camera_to_world.rotation),
+        np.asarray(single.camera_to_world.rotation),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.camera_to_world.translation),
+        np.asarray(single.camera_to_world.translation),
+        atol=1e-4,
+    )
+
+
+def test_propose_loop_closures():
+    gt, traj, _, _ = _noisy_ring(n=12)
+    # On a ring, frame 11 returns near frame 0.
+    cands = pg.propose_loop_closures(traj, min_separation=6, max_translation=1.5)
+    assert cands.shape[1] == 2
+    assert len(cands) > 0
