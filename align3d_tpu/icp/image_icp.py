@@ -247,15 +247,20 @@ def align_impl_pallas(
         target_intensity_map,
     )
     hp = sp.shape[0]
-    pt = (params.max_distance, params.max_normal_angle, params.max_color_distance)
-    cb0, dyb0 = icp_pallas.predict_bases(
+    pt = (
+        params.max_distance,
+        params.max_normal_angle,
+        params.max_color_distance,
+        params.band_radius,
+    )
+    cb0, dyb0, dxb0 = icp_pallas.predict_bases(
         initial_rotation, initial_translation, sp, intrinsics, h
     )
 
     def body(_, carry):
-        rot, trans, cb, dyb, best_res, best_rot, best_trans = carry
+        rot, trans, cb, dyb, dxb, best_res, best_rot, best_trans = carry
         geo_aug, col_aug, stats = icp_pallas.icp_step_pallas(
-            rot, trans, cb, dyb, sp, tp, intrinsics, h, w, pt, interpret
+            rot, trans, cb, dyb, dxb, sp, tp, intrinsics, h, w, pt, interpret
         )
         geom = GNSystem(
             geo_aug[0:6, 0:6], geo_aug[0:6, 6], geo_aug[6, 6], geo_aug[7, 7]
@@ -269,7 +274,7 @@ def align_impl_pallas(
         residual = merged.mean_squared_residual()
         update = merged.solve()
         new_transform = Transform.exp(update) @ Transform(rot, trans)
-        cb2, dyb2 = icp_pallas.bases_from_stats(stats, dyb, hp)
+        cb2, dyb2, dxb2 = icp_pallas.bases_from_stats(stats, dyb, dxb, hp)
 
         better = residual < best_res
         best_res = jnp.where(better, residual, best_res)
@@ -280,6 +285,7 @@ def align_impl_pallas(
             new_transform.translation,
             cb2,
             dyb2,
+            dxb2,
             best_res,
             best_rot,
             best_trans,
@@ -290,12 +296,116 @@ def align_impl_pallas(
         initial_translation,
         cb0,
         dyb0,
+        dxb0,
         jnp.float32(jnp.inf),
         initial_rotation,
         initial_translation,
     )
     out = jax.lax.fori_loop(0, params.max_iterations, body, init)
-    return out[5], out[6], out[4]
+    return out[6], out[7], out[5]
+
+
+def align_impl_pallas_batched(
+    initial_rotation: Array,  # (B, 3, 3)
+    initial_translation: Array,  # (B, 3)
+    source_points: Array,  # (B, N, 3)
+    source_mask: Array,  # (B, N)
+    source_intensity: Array,  # (B, N)
+    target_points: Array,  # (B, N, 3)
+    target_mask: Array,  # (B, N)
+    target_normals: Array,  # (B, N, 3)
+    target_intensity_map: Array,  # (B, H+2, W+2)
+    intrinsics: CameraIntrinsics,
+    params: IcpParams,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """Batched Pallas align: one kernel launch per GN iteration covers all B
+    pairs (grid (B, nchunks)); solves/updates/band tracking are batched XLA.
+    The TPU throughput configuration."""
+    from align3d_tpu.ops import icp_pallas
+
+    if params.huber_delta is not None:
+        raise NotImplementedError("huber_delta is not supported by the pallas engine")
+
+    bsz = source_points.shape[0]
+    h2, w2 = target_intensity_map.shape[1], target_intensity_map.shape[2]
+    h, w = h2 - 2, w2 - 2
+    sp = jax.vmap(icp_pallas.pack_source)(
+        source_points.reshape(bsz, h, w, 3),
+        source_mask.reshape(bsz, h, w),
+        source_intensity.reshape(bsz, h, w),
+    )
+    tp = jax.vmap(icp_pallas.pack_target)(
+        target_points.reshape(bsz, h, w, 3),
+        target_normals.reshape(bsz, h, w, 3),
+        target_mask.reshape(bsz, h, w),
+        target_intensity_map,
+    )
+    hp = sp.shape[1]
+    pt = (
+        params.max_distance,
+        params.max_normal_angle,
+        params.max_color_distance,
+        params.band_radius,
+    )
+    cb0, dyb0, dxb0 = icp_pallas.predict_bases_batched(
+        initial_rotation, initial_translation, sp, intrinsics, h
+    )
+
+    def body(_, carry):
+        rot, trans, cb, dyb, dxb, best_res, best_rot, best_trans = carry
+        geo_aug, col_aug, stats = icp_pallas.icp_step_pallas_batched(
+            rot, trans, cb, dyb, dxb, sp, tp, intrinsics, h, w, pt, interpret
+        )
+        geom = GNSystem(
+            geo_aug[:, 0:6, 0:6],
+            geo_aug[:, 0:6, 6],
+            geo_aug[:, 6, 6],
+            geo_aug[:, 7, 7],
+        )
+        color = GNSystem(
+            col_aug[:, 0:6, 0:6],
+            col_aug[:, 0:6, 6],
+            col_aug[:, 6, 6],
+            col_aug[:, 7, 7],
+        )
+        merged = geom.add_weighted(
+            color, jnp.float32(params.weight), jnp.float32(params.color_weight)
+        )
+        residual = merged.mean_squared_residual()  # (B,)
+        update = merged.solve()  # (B, 6)
+        new_transform = Transform.exp(update) @ Transform(rot, trans)
+        cb2, dyb2, dxb2 = icp_pallas.bases_from_stats_batched(stats, dyb, dxb, hp)
+
+        better = residual < best_res
+        best_res = jnp.where(better, residual, best_res)
+        best_rot = jnp.where(
+            better[:, None, None], new_transform.rotation, best_rot
+        )
+        best_trans = jnp.where(better[:, None], new_transform.translation, best_trans)
+        return (
+            new_transform.rotation,
+            new_transform.translation,
+            cb2,
+            dyb2,
+            dxb2,
+            best_res,
+            best_rot,
+            best_trans,
+        )
+
+    init = (
+        initial_rotation,
+        initial_translation,
+        cb0,
+        dyb0,
+        dxb0,
+        jnp.full((bsz,), jnp.inf, jnp.float32),
+        initial_rotation,
+        initial_translation,
+    )
+    out = jax.lax.fori_loop(0, params.max_iterations, body, init)
+    return out[6], out[7], out[5]
 
 
 def align_dispatch(

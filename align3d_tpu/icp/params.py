@@ -32,6 +32,11 @@ class IcpParams:
     # association limited to a tracked displacement band, so use it on fine
     # pyramid levels where coarse levels have already removed bulk motion.
     engine: str = "xla"
+    # Pallas engine only: candidate-row radius of the banded association
+    # (pixels whose correspondence row deviates more than this from the
+    # per-group tracked prediction are dropped). 2 is conservative; 1 is
+    # ~1.5x faster and measured equivalent on the sample sequences.
+    band_radius: int = 2
 
     def replace(self, **kw) -> "IcpParams":
         return dataclasses.replace(self, **kw)

@@ -100,12 +100,20 @@ def multiscale_align_batched(
     ):
         sp, sm, si, _, _ = _flatten_level(source)
         tp, tm, _, tn, tim = _flatten_level(target)
-        fn = jax.vmap(
-            lambda r, t, a, bm, c, d, e, f, g: align_impl(
-                r, t, a, bm, c, d, e, f, g, target.intrinsics, level_params
+        if level_params.engine == "pallas":
+            from align3d_tpu.icp.image_icp import align_impl_pallas_batched
+
+            rot, trans, _ = align_impl_pallas_batched(
+                rot, trans, sp, sm, si, tp, tm, tn, tim,
+                target.intrinsics, level_params,
             )
-        )
-        rot, trans, _ = fn(rot, trans, sp, sm, si, tp, tm, tn, tim)
+        else:
+            fn = jax.vmap(
+                lambda r, t, a, bm, c, d, e, f, g: align_impl(
+                    r, t, a, bm, c, d, e, f, g, target.intrinsics, level_params
+                )
+            )
+            rot, trans, _ = fn(rot, trans, sp, sm, si, tp, tm, tn, tim)
     return Transform(rot, trans)
 
 

@@ -43,6 +43,8 @@ def main() -> int:
     from align3d_tpu.icp.params import IcpParams
     from align3d_tpu.range_image import build_pyramid_impl
 
+    from align3d_tpu.icp.image_icp import align_impl_pallas_batched
+
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 
@@ -76,29 +78,35 @@ def main() -> int:
     )
 
     # The serving tunnel adds ~30 ms of fixed RPC latency per dispatch and
-    # block_until_ready does not block on it — so pair-aligns run INSIDE one
-    # jitted program (chained through the carry so no iteration can be CSE'd
-    # away) and completion is forced by pulling a scalar.
-    PAIRS = 16
+    # block_until_ready does not block on it — so aligns run INSIDE one
+    # jitted program (a fori of BATCH-pair aligns, chained through the carry
+    # so no iteration can be CSE'd away) and completion is forced by pulling
+    # a scalar.
+    BATCH = 8
+
+    def tile(a):
+        return jnp.broadcast_to(a[None], (BATCH,) + a.shape)
+
+    bargs = tuple(tile(a) for a in args)
+    rot0 = tile(jnp.eye(3))
+    tr0 = tile(jnp.zeros(3))
 
     @functools.partial(jax.jit, static_argnames=("reps",))
     def bench_fn(rot, tr, reps):
         def body(_, carry):
             r, t, acc = carry
-            br, bt, bres = align_impl_pallas(r, t, *args, intr, params)
-            return (rot, tr + 1e-12 * bres, acc + bres)
+            br, bt, bres = align_impl_pallas_batched(r, t, *bargs, intr, params)
+            return (rot, tr + 1e-12 * jnp.sum(bres), acc + jnp.sum(bres))
 
         r, t, acc = jax.lax.fori_loop(0, reps, body, (rot, tr, jnp.float32(0)))
         return acc + jnp.sum(t)
 
-    rot0 = jnp.eye(3)
-    tr0 = jnp.zeros(3)
     t0 = time.perf_counter()
     _ = float(bench_fn(rot0, tr0, 1))
-    log(f"compile (1 pair): {time.perf_counter() - t0:.2f}s")
+    log(f"compile (1 rep): {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
-    _ = float(bench_fn(rot0, tr0, 1 + PAIRS))
-    log(f"compile (1+{PAIRS} pairs): {time.perf_counter() - t0:.2f}s")
+    _ = float(bench_fn(rot0, tr0, 3))
+    log(f"compile (3 reps): {time.perf_counter() - t0:.2f}s")
 
     def best_of(reps, calls=3):
         best = 1e9
@@ -109,11 +117,11 @@ def main() -> int:
         return best
 
     t_lo = best_of(1)
-    t_hi = best_of(1 + PAIRS)
-    ms_per_pair = (t_hi - t_lo) / PAIRS * 1000.0
+    t_hi = best_of(3)
+    ms_per_pair = (t_hi - t_lo) / (2 * BATCH) * 1000.0
     log(
-        f"marginal over {PAIRS} pairs x {ITERS} iters: {ms_per_pair:.3f} ms/pair "
-        f"({1000.0 / ms_per_pair:.1f} pairs/s)"
+        f"marginal over {2 * BATCH} pair-aligns x {ITERS} iters: "
+        f"{ms_per_pair:.3f} ms/pair ({1000.0 / ms_per_pair:.1f} pairs/s)"
     )
 
     print(

@@ -65,30 +65,33 @@ def test_step_matches_xla_counts_and_systems():
         target.points, target.normals, target.mask, target.intensity_map
     )
     pt = (params.max_distance, params.max_normal_angle, params.max_color_distance)
-    cb, dyb = icp_pallas.predict_bases(rot, tr, sp, intr, h)
+    cb, dyb, dxb = icp_pallas.predict_bases(rot, tr, sp, intr, h)
     geo_aug, col_aug, stats = icp_pallas.icp_step_pallas(
-        rot, tr, cb, dyb, sp, tp, intr, h, w, pt, interpret=True
+        rot, tr, cb, dyb, dxb, sp, tp, intr, h, w, pt, interpret=True
     )
 
-    # Gating must be IDENTICAL (counts are exact integers); the accumulated
-    # sums differ only by f32 association order (single-pass MXU contraction
-    # vs XLA's reduction tree) — relative ~1e-4 on entries spanning 5 orders
-    # of magnitude.
+    # The packed target quantizes normals to 12 bits, so the angle gate can
+    # flip for pixels within 2.5e-4 of the threshold: counts agree to a
+    # handful of pixels, sums to the corresponding relative tolerance (plus
+    # f32 reassociation between the single-pass MXU contraction and XLA's
+    # reduction tree).
+    n_px = h * w
     for aug, sys in ((geo_aug, geom), (col_aug, color)):
-        assert float(aug[7, 7]) == float(sys.count)
+        assert abs(float(aug[7, 7]) - float(sys.count)) <= max(3, 1e-3 * n_px)
         np.testing.assert_allclose(
-            np.asarray(aug[0:6, 0:6]), np.asarray(sys.hessian), rtol=5e-4, atol=1e-3
+            np.asarray(aug[0:6, 0:6]), np.asarray(sys.hessian), rtol=5e-3, atol=1e-2
         )
         np.testing.assert_allclose(
-            np.asarray(aug[0:6, 6]), np.asarray(sys.gradient), rtol=5e-4, atol=5e-3
+            np.asarray(aug[0:6, 6]), np.asarray(sys.gradient), rtol=5e-3, atol=5e-2
         )
         np.testing.assert_allclose(
-            float(aug[6, 6]), float(sys.squared_residual_sum), rtol=1e-4
+            float(aug[6, 6]), float(sys.squared_residual_sum), rtol=5e-3
         )
 
     # Stats reduce to usable next-iteration bases.
-    cb2, dyb2 = icp_pallas.bases_from_stats(stats, dyb, sp.shape[0])
+    cb2, dyb2, dxb2 = icp_pallas.bases_from_stats(stats, dyb, dxb, sp.shape[0])
     assert cb2.shape == cb.shape and dyb2.shape == dyb.shape
+    assert dxb2.shape == dxb.shape
 
 
 def test_align_matches_xla_pose():
@@ -114,6 +117,60 @@ def test_align_matches_xla_pose():
     np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_x), atol=5e-5)
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=5e-5)
     np.testing.assert_allclose(float(res_p), float(res_x), rtol=1e-4)
+
+
+def test_batched_align_matches_single():
+    from align3d_tpu.icp.image_icp import align_impl_pallas_batched
+
+    h, w = 32, 128
+    intr, t0_, s0_ = _pair(h, w, seed=0)
+    _, t1_, s1_ = _pair(h, w, seed=1)
+    params = IcpParams(max_iterations=2)
+    n = h * w
+
+    def flat(ri):
+        return (
+            ri.points.reshape(n, 3),
+            ri.mask.reshape(n),
+            ri.intensities.reshape(n),
+            ri.normals.reshape(n, 3) if ri.normals is not None else None,
+            ri.intensity_map,
+        )
+
+    singles = []
+    for tgt, src in ((t0_, s0_), (t1_, s1_)):
+        sp, sm, si, _, _ = flat(src)
+        tp, tm, _, tn, tim = flat(tgt)
+        singles.append(
+            align_impl_pallas(
+                jnp.eye(3), jnp.zeros(3), sp, sm, si, tp, tm, tn, tim,
+                intr, params, interpret=True,
+            )
+        )
+
+    import numpy as _np
+
+    def stack(items):
+        return jnp.stack(items, axis=0)
+
+    br, bt, bres = align_impl_pallas_batched(
+        stack([jnp.eye(3)] * 2),
+        stack([jnp.zeros(3)] * 2),
+        stack([s0_.points.reshape(n, 3), s1_.points.reshape(n, 3)]),
+        stack([s0_.mask.reshape(n), s1_.mask.reshape(n)]),
+        stack([s0_.intensities.reshape(n), s1_.intensities.reshape(n)]),
+        stack([t0_.points.reshape(n, 3), t1_.points.reshape(n, 3)]),
+        stack([t0_.mask.reshape(n), t1_.mask.reshape(n)]),
+        stack([t0_.normals.reshape(n, 3), t1_.normals.reshape(n, 3)]),
+        stack([t0_.intensity_map, t1_.intensity_map]),
+        intr,
+        params,
+        interpret=True,
+    )
+    for k in range(2):
+        r_s, t_s, res_s = singles[k]
+        _np.testing.assert_allclose(_np.asarray(br[k]), _np.asarray(r_s), atol=1e-5)
+        _np.testing.assert_allclose(_np.asarray(bt[k]), _np.asarray(t_s), atol=1e-5)
 
 
 def test_pallas_engine_rejects_huber():
