@@ -19,8 +19,13 @@ from align3d_tpu import config as _config  # noqa: F401  (applies dtype policy)
 
 from align3d_tpu.se3 import Transform
 from align3d_tpu.camera import CameraIntrinsics, PinholeCamera
+from align3d_tpu.pointcloud import PointCloud
+from align3d_tpu.range_image import RangeImage, RangeImageBuilder
 from align3d_tpu.trajectory import Trajectory, TrajectoryBuilder
 from align3d_tpu.metrics import TransformMetrics
+from align3d_tpu.icp.params import IcpParams, MsIcpParams
+from align3d_tpu.icp.image_icp import ImageIcp
+from align3d_tpu.icp.multiscale import MultiscaleAlign
 
 __version__ = "0.1.0"
 
@@ -28,7 +33,14 @@ __all__ = [
     "Transform",
     "CameraIntrinsics",
     "PinholeCamera",
+    "PointCloud",
+    "RangeImage",
+    "RangeImageBuilder",
     "Trajectory",
     "TrajectoryBuilder",
     "TransformMetrics",
+    "IcpParams",
+    "MsIcpParams",
+    "ImageIcp",
+    "MultiscaleAlign",
 ]

@@ -1,0 +1,36 @@
+"""Bilateral-grid depth filter, 640x480 u16 (reference benches/bench_bilateral
+exists without published numbers; we publish ours)."""
+
+import sys
+
+sys.path.insert(0, ".")
+from benches._harness import emit, log, marginal_ms, setup_jax  # noqa: E402
+
+
+def main() -> int:
+    setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from align3d_tpu.ops.bilateral import BilateralFilter
+
+    rng = np.random.default_rng(0)
+    h, w = 480, 640
+    depth = jnp.asarray(
+        (2000 + rng.integers(0, 500, (h, w))).astype(np.uint16)
+    )
+    filt = BilateralFilter()
+
+    def step(_, carry):
+        d, acc = carry
+        out = filt.filter(d)
+        return (d, acc + jnp.sum(out.astype(jnp.float32)))
+
+    ms = marginal_ms(step, (depth, jnp.float32(0)), lo=2, hi=22)
+    log(f"bilateral filter 640x480: {ms:.4f} ms")
+    emit("bilateral_filter_640x480_ms", ms, "ms", None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

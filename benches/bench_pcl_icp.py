@@ -1,0 +1,55 @@
+"""Unordered point-cloud ICP align (reference benches/bench_icp.rs —
+no published number; we publish ours)."""
+
+import sys
+
+sys.path.insert(0, ".")
+from benches._harness import emit, log, marginal_ms, setup_jax  # noqa: E402
+
+
+def main() -> int:
+    setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from align3d_tpu.icp.params import IcpParams
+    from align3d_tpu.icp.pcl_icp import Icp
+    from align3d_tpu.pointcloud import PointCloud
+    from align3d_tpu.se3 import Transform
+
+    rng = np.random.default_rng(0)
+    n = 100_000
+    # Noisy plane-ish surface with normals.
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    pts[:, 2] = 0.2 * pts[:, 0] + 0.1 * pts[:, 1] + rng.normal(0, 0.005, n)
+    normals = np.tile(
+        np.asarray([-0.2, -0.1, 1.0], np.float32) / np.linalg.norm([-0.2, -0.1, 1.0]),
+        (n, 1),
+    )
+    target = PointCloud(
+        jnp.asarray(pts), jnp.ones(n, bool), normals=jnp.asarray(normals)
+    )
+    delta = Transform.exp(jnp.asarray([0.01, -0.005, 0.008, 0.004, -0.006, 0.01]))
+    source = target.transformed(delta)
+
+    icp = Icp(IcpParams(max_iterations=10), target.points, target.normals)
+    import time
+
+    t0 = time.perf_counter()
+    result = icp.align(source.points, source.normals)
+    log(f"first align (compile): {time.perf_counter() - t0:.1f}s; "
+        f"angle err {float((result.inverse() @ delta.inverse()).angle()):.5f}")
+
+    t0 = time.perf_counter()
+    calls = 5
+    for _ in range(calls):
+        result = icp.align(source.points, source.normals)
+        _ = float(result.translation[0])
+    ms = (time.perf_counter() - t0) / calls * 1000.0
+    log(f"pcl icp align 100k, 10 iters: {ms:.2f} ms/align (incl ~31ms RPC)")
+    emit("pcl_icp_100k_10iter_ms", ms, "ms", None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,38 @@
+"""Voxel-hash NN: 500k database vs 500k queries (reference bench_kdtree:
+[101.48, 101.75, 102.04] ms on i7-11800H, README.md:131; its kd-tree descent
+is approximate, as is the voxel grid — SURVEY.md §2.3)."""
+
+import sys
+
+sys.path.insert(0, ".")
+from benches._harness import emit, log, marginal_ms, setup_jax  # noqa: E402
+
+BASELINE_MS = 101.75
+N = 500_000
+
+
+def main() -> int:
+    setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from align3d_tpu.ops import voxel_hash
+
+    rng = np.random.default_rng(0)
+    db = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
+    queries = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
+    grid = voxel_hash.VoxelHashGrid.build(db, cell_size=0.02)
+
+    def step(_, carry):
+        q, acc = carry
+        idx, sq = voxel_hash.nearest(grid, q, max_per_cell=8)
+        return (q + 1e-12 * sq[0], acc + jnp.sum(sq[:128]))
+
+    ms = marginal_ms(step, (queries, jnp.float32(0)), lo=2, hi=12)
+    log(f"voxel-hash NN 500k x 500k: {ms:.3f} ms")
+    emit("nn_500k_x_500k_ms", ms, "ms", BASELINE_MS)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,53 @@
+"""Checkpoint/resume round-trips (SURVEY §5 aux subsystem)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from align3d_tpu import checkpoint
+from align3d_tpu.se3 import Transform, stack
+from align3d_tpu.trajectory import Trajectory
+
+
+def test_state_roundtrip(tmp_path):
+    path = str(tmp_path / "state.npz")
+    checkpoint.save_state(path, {"a": np.arange(5), "b": np.float32(2.5)})
+    s = checkpoint.load_state(path)
+    np.testing.assert_array_equal(s["a"], np.arange(5))
+    assert float(s["b"]) == 2.5
+
+
+def test_odometry_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    poses = [
+        Transform.exp(jnp.asarray(rng.normal(0, 0.1, 6), jnp.float32))
+        for _ in range(4)
+    ]
+    traj = Trajectory(stack(poses), jnp.arange(4, dtype=jnp.float32))
+    path = str(tmp_path / "odo.npz")
+    checkpoint.save_odometry(path, traj, next_frame=4)
+    back, nf = checkpoint.load_odometry(path)
+    assert nf == 4
+    np.testing.assert_allclose(
+        np.asarray(back.camera_to_world.rotation),
+        np.asarray(traj.camera_to_world.rotation),
+    )
+    np.testing.assert_allclose(np.asarray(back.times), np.asarray(traj.times))
+
+
+def test_tum_roundtrip():
+    rng = np.random.default_rng(1)
+    poses = [
+        Transform.exp(jnp.asarray(rng.normal(0, 0.2, 6), jnp.float32))
+        for _ in range(3)
+    ]
+    traj = Trajectory(stack(poses), jnp.asarray([0.0, 0.5, 1.0]))
+    text = traj.to_tum()
+    back = Trajectory.from_tum(text)
+    np.testing.assert_allclose(
+        np.asarray(back.camera_to_world.translation),
+        np.asarray(traj.camera_to_world.translation),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(back.times), np.asarray(traj.times), atol=1e-6
+    )
