@@ -32,7 +32,10 @@ def cmd_odometry(args) -> int:
     from align3d_tpu.ops.bilateral import BilateralFilter
     from align3d_tpu.range_image import RangeImageBuilder
 
-    dataset = load_dataset(args.format, args.dataset)
+    from align3d_tpu.io.datasets.core import maybe_prefetch
+
+    # Native decode-ahead pipeline (C++ worker pool) when built.
+    dataset = maybe_prefetch(load_dataset(args.format, args.dataset))
     if args.max_frames is not None:
         dataset = SubsetDataset(dataset, range(args.max_frames))
 
@@ -48,6 +51,14 @@ def cmd_odometry(args) -> int:
         icp_params=params,
         progress=_progress_printer() if not args.quiet else None,
     )
+    if args.loop_closure:
+        from align3d_tpu.odometry import refine_with_loop_closures
+
+        before = f"{result.metrics}" if result.metrics is not None else "n/a"
+        result = refine_with_loop_closures(
+            dataset, result, range_builder=builder, icp_params=params
+        )
+        print(f"Mean trajectory error before loop closure: {before}")
     if result.metrics is not None:
         print(f"Mean trajectory error: {result.metrics}")
     print(f"Seconds per frame: {result.seconds_per_frame:.4f}")
@@ -84,6 +95,12 @@ def main(argv=None) -> int:
         default="xla",
         help="ICP engine: exact XLA gathers, or the fused banded Pallas "
         "kernel on the fine pyramid levels (TPU)",
+    )
+    p_odo.add_argument(
+        "--loop-closure",
+        action="store_true",
+        help="after odometry, detect loop closures and refine the "
+        "trajectory with pose-graph Gauss-Newton",
     )
     p_odo.add_argument("--quiet", "-q", action="store_true")
     p_odo.add_argument("--save-trajectory", metavar="PATH")

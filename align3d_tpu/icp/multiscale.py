@@ -22,9 +22,16 @@ class MultiscaleAlign:
         self.params = params
         self.target_pyramid = target_pyramid
 
-    def align(self, source_pyramid: list[RangeImage]) -> Transform:
-        """Iterate levels coarse -> fine (multiscale.rs:51-63)."""
-        optim_transform = Transform.identity()
+    def align(
+        self,
+        source_pyramid: list[RangeImage],
+        initial_transform: Transform | None = None,
+    ) -> Transform:
+        """Iterate levels coarse -> fine (multiscale.rs:51-63).
+
+        ``initial_transform`` seeds the coarsest level (used by loop-closure
+        measurement, which starts from the odometry estimate)."""
+        optim_transform = initial_transform or Transform.identity()
         for params, target, source in reversed(
             list(zip(self.params, self.target_pyramid, source_pyramid))
         ):

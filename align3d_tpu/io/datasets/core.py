@@ -84,3 +84,73 @@ def load_depth_u16(path) -> np.ndarray:
     if arr.dtype == np.uint8:
         return arr.astype(np.uint16)
     raise DatasetError(f"unsupported depth dtype {arr.dtype} for {path}")
+
+
+class PrefetchingDataset:
+    """Wrap a path-exposing dataset with the native decode-ahead pipeline.
+
+    Image decode moves to the C++ worker pool (io/native_loader.py) which
+    stays ``prefetch`` frames ahead of the consumer — the host overlaps
+    JPEG/PNG decode with device compute during sequential odometry. Frame
+    metadata (camera, pose, depth scale) still comes from the wrapped
+    dataset.
+
+    Requires the wrapped dataset to implement ``frame_paths()`` and the
+    native library to be built (``make -C native``); :func:`maybe_prefetch`
+    falls back to the plain dataset otherwise.
+    """
+
+    def __init__(self, dataset, n_threads: int = 4, prefetch: int = 8):
+        from align3d_tpu.io import native_loader
+
+        colors, depths = dataset.frame_paths()
+        self.dataset = dataset
+        self.loader = native_loader.PrefetchLoader(
+            colors, depths, n_threads=n_threads, prefetch=prefetch
+        )
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def get(self, index: int) -> RgbdFrame:
+        meta = self.dataset.get_meta(index) if hasattr(self.dataset, "get_meta") else None
+        color, depth = self.loader.get(index)
+        if meta is None:
+            # Reuse the wrapped dataset's frame assembly but swap the images.
+            frame = self.dataset.get(index)
+            from align3d_tpu.image import RgbdImage
+
+            return RgbdFrame(
+                camera=frame.camera,
+                image=RgbdImage(color, depth, frame.image.depth_scale),
+                camera_to_world=frame.camera_to_world,
+            )
+        camera, pose, depth_scale = meta
+        from align3d_tpu.image import RgbdImage
+
+        return RgbdFrame(
+            camera=camera,
+            image=RgbdImage(color, depth, depth_scale),
+            camera_to_world=pose,
+        )
+
+    def trajectory(self):
+        return self.dataset.trajectory()
+
+    def camera(self, index: int):
+        return self.dataset.camera(index)
+
+    def close(self) -> None:
+        self.loader.close()
+
+
+def maybe_prefetch(dataset, n_threads: int = 4, prefetch: int = 8):
+    """Wrap with PrefetchingDataset when the native loader + paths exist."""
+    from align3d_tpu.io import native_loader
+
+    if hasattr(dataset, "frame_paths") and native_loader.available():
+        try:
+            return PrefetchingDataset(dataset, n_threads=n_threads, prefetch=prefetch)
+        except Exception:
+            return dataset
+    return dataset

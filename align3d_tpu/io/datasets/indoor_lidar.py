@@ -58,6 +58,11 @@ class IndoorLidarDataset:
     def __len__(self) -> int:
         return len(self.rgb_images)
 
+    def frame_paths(self) -> tuple[list, list]:
+        """Absolute (color, depth) file paths — enables the native
+        prefetching loader (io/native_loader.py)."""
+        return list(self.rgb_images), list(self.depth_images)
+
     def get(self, index: int) -> RgbdFrame:
         rgb = load_rgb(self.rgb_images[index])
         depth = load_depth_u16(self.depth_images[index])
@@ -65,6 +70,11 @@ class IndoorLidarDataset:
         return RgbdFrame(
             camera=cam, image=RgbdImage(rgb, depth, 0.001), camera_to_world=pose
         )
+
+    def get_meta(self, index: int):
+        """(camera, pose, depth_scale) without decoding images."""
+        cam, pose = self.camera(index)
+        return cam, pose, 0.001
 
     def trajectory(self) -> Trajectory:
         return self._trajectory

@@ -55,6 +55,14 @@ class SlamTbDataset:
             scales.append(float(info["depth_scale"]))
         return cls(base_dir, cameras, poses, rgbs, depths, scales)
 
+    def frame_paths(self) -> tuple[list, list]:
+        """Absolute (color, depth) file paths — enables the native
+        prefetching loader (io/native_loader.py)."""
+        return (
+            [os.path.join(self.base_dir, f) for f in self.rgb_images],
+            [os.path.join(self.base_dir, f) for f in self.depth_images],
+        )
+
     def __len__(self) -> int:
         return min(len(self.rgb_images), len(self.depth_images))
 
@@ -66,6 +74,10 @@ class SlamTbDataset:
             image=RgbdImage(rgb, depth, self.depth_scales[index]),
             camera_to_world=self.poses[index],
         )
+
+    def get_meta(self, index: int):
+        """(camera, pose, depth_scale) without decoding images."""
+        return self.cameras[index], self.poses[index], self.depth_scales[index]
 
     def trajectory(self) -> Trajectory:
         return Trajectory.from_list(

@@ -98,6 +98,14 @@ class TumRgbdDataset:
         trajectory = Trajectory.from_list(poses, np.asarray(times, np.float32))
         return cls(base_dir, rgb_images, depth_images, trajectory)
 
+    def frame_paths(self) -> tuple[list, list]:
+        """Absolute (color, depth) file paths — enables the native
+        prefetching loader (io/native_loader.py)."""
+        return (
+            [os.path.join(self.base_dir, f) for f in self.rgb_images],
+            [os.path.join(self.base_dir, f) for f in self.depth_images],
+        )
+
     def __len__(self) -> int:
         return len(self.rgb_images)
 
@@ -110,6 +118,12 @@ class TumRgbdDataset:
             image=RgbdImage(rgb, depth, 1.0 / 5000.0),
             camera_to_world=pose,
         )
+
+    def get_meta(self, index: int):
+        """(camera, pose, depth_scale) without decoding images — the
+        PrefetchingDataset fast path."""
+        cam, pose = self.camera(index)
+        return cam, pose, 1.0 / 5000.0
 
     def trajectory(self) -> Trajectory:
         return self._trajectory

@@ -73,3 +73,59 @@ def run_odometry(
         metrics=metrics,
         seconds_per_frame=elapsed / max(n - 1, 1),
     )
+
+
+def refine_with_loop_closures(
+    dataset,
+    result: OdometryResult,
+    range_builder: RangeImageBuilder | None = None,
+    icp_params: MsIcpParams | None = None,
+    min_separation: int = 10,
+    max_translation: float = 0.5,
+    max_candidates: int = 16,
+    closure_weight: float = 5.0,
+    iterations: int = 10,
+    mesh=None,
+) -> OdometryResult:
+    """Global trajectory refinement (beyond the reference, SURVEY phase 5).
+
+    Propose loop-closure candidates from the odometry trajectory (pose
+    distance heuristic), measure each candidate's relative pose with
+    multiscale ICP seeded from the odometry estimate, and optimize the pose
+    graph (odometry chain + closure edges) with distributed Gauss-Newton
+    (:mod:`align3d_tpu.parallel.pose_graph`).
+    """
+    from align3d_tpu.parallel import pose_graph as pg
+
+    range_builder = range_builder or RangeImageBuilder()
+    icp_params = icp_params or MsIcpParams.default()
+    traj = result.trajectory
+
+    candidates = pg.propose_loop_closures(
+        traj,
+        min_separation=min_separation,
+        max_translation=max_translation,
+        max_candidates=max_candidates,
+    )
+    edges = []
+    for i, j in candidates:
+        target = range_builder.build(dataset.get(int(i)))
+        source = range_builder.build(dataset.get(int(j)))
+        align = MultiscaleAlign(icp_params, target)
+        initial = traj.get_relative_transform(int(j), int(i))
+        z = align.align(source, initial_transform=initial)
+        edges.append((int(i), int(j), z, closure_weight))
+
+    refined = pg.refine_trajectory(
+        traj, loop_edges=edges, iterations=iterations, mesh=mesh
+    )
+    metrics = None
+    gt = dataset.trajectory()
+    if gt is not None:
+        gt = gt.slice(0, len(refined)).first_frame_at_origin()
+        metrics = TransformMetrics.mean_trajectory_error(refined, gt)
+    return OdometryResult(
+        trajectory=refined,
+        metrics=metrics,
+        seconds_per_frame=result.seconds_per_frame,
+    )

@@ -102,23 +102,67 @@ class GNSystem:
         return jnp.where(ok, update, 0.0)
 
 
+def _cholesky_unrolled(hs: Array, dim: int) -> list:
+    """Fully unrolled Cholesky of a small (..., dim, dim) SPD matrix as a
+    lower-triangular list-of-lists of (...,) scalars.
+
+    Why not ``jnp.linalg.cholesky``: XLA's generic lowering builds a blocked
+    loop with dynamic slices — measured at >100 us per GN iteration between
+    Pallas kernel launches and minutes of extra compile time on this
+    platform. The unrolled form is pure elementwise math that XLA fuses
+    into a single tiny kernel.
+    """
+    low = [[None] * dim for _ in range(dim)]
+    for j in range(dim):
+        s = hs[..., j, j]
+        for k in range(j):
+            s = s - low[j][k] * low[j][k]
+        low[j][j] = jnp.sqrt(s)
+        inv = 1.0 / low[j][j]
+        for i in range(j + 1, dim):
+            s2 = hs[..., i, j]
+            for k in range(j):
+                s2 = s2 - low[i][k] * low[j][k]
+            low[i][j] = s2 * inv
+    return low
+
+
+def _cho_solve_unrolled(low: list, b: Array, dim: int) -> Array:
+    """Forward + back substitution against :func:`_cholesky_unrolled`."""
+    y = []
+    for i in range(dim):
+        s = b[..., i]
+        for k in range(i):
+            s = s - low[i][k] * y[k]
+        y.append(s / low[i][i])
+    x = [None] * dim
+    for i in reversed(range(dim)):
+        s = y[i]
+        for k in range(i + 1, dim):
+            s = s - low[k][i] * x[k]
+        x[i] = s / low[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def solve_spd(hessian: Array, gradient: Array) -> Array:
     """Solve ``H x = g`` for small SPD H (..., D, D) in f32.
 
-    Jacobi-preconditioned Cholesky + one iterative-refinement step: the
-    TPU-native stand-in for the reference's f64 solve. NaN-safe for singular
-    H only in the sense that callers mask the result (see GNSystem.solve).
+    Jacobi-preconditioned unrolled Cholesky + one iterative-refinement step:
+    the TPU-native stand-in for the reference's f64 solve. NaN-safe for
+    singular H only in the sense that callers mask the result (see
+    GNSystem.solve).
     """
+    dim = hessian.shape[-1]
     diag = jnp.diagonal(hessian, axis1=-2, axis2=-1)
     scale = jax.lax.rsqrt(jnp.maximum(diag, jnp.finfo(hessian.dtype).tiny))
     hs = hessian * scale[..., :, None] * scale[..., None, :]
     gs = gradient * scale
 
-    chol = jnp.linalg.cholesky(hs)
-    y = jax.scipy.linalg.cho_solve((chol, True), gs[..., None])[..., 0]
+    low = _cholesky_unrolled(hs, dim)
+    y = _cho_solve_unrolled(low, gs, dim)
     # One refinement step in the scaled system.
     r = gs - jnp.einsum("...ij,...j->...i", hs, y)
-    dy = jax.scipy.linalg.cho_solve((chol, True), r[..., None])[..., 0]
+    dy = _cho_solve_unrolled(low, r, dim)
     return (y + dy) * scale
 
 

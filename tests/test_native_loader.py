@@ -64,3 +64,28 @@ def test_prefetch_matches_single_shot():
         loader.close()
     np.testing.assert_array_equal(c0, native_loader.decode_rgb(colors[0]))
     np.testing.assert_array_equal(d0, native_loader.decode_depth(depths[0]))
+
+
+def test_prefetching_dataset_matches_plain():
+    from align3d_tpu import config
+    from align3d_tpu.io.datasets import SlamTbDataset
+    from align3d_tpu.io.datasets.core import maybe_prefetch
+
+    if not config.has_ref_data():
+        pytest.skip("reference fixture data not available")
+    plain = SlamTbDataset.load(config.ref_data_path("rgbd", "sample1"))
+    pre = maybe_prefetch(plain)
+    assert pre is not plain  # wrapper engaged
+    try:
+        for i in (0, 1, 2):
+            a = plain.get(i)
+            b = pre.get(i)
+            np.testing.assert_array_equal(
+                np.asarray(a.image.depth), np.asarray(b.image.depth)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a.image.color), np.asarray(b.image.color)
+            )
+            assert a.image.depth_scale == b.image.depth_scale
+    finally:
+        pre.close()

@@ -17,14 +17,21 @@ from align3d_tpu.se3 import Transform
 
 
 def _synthetic_sequence(n_frames: int, h: int = 48, w: int = 64):
-    """Tiny synthetic RGB-D sequence: a textured slanted plane, shifting."""
+    """Tiny synthetic RGB-D sequence: a textured RELIEF surface, shifting.
+
+    The relief (sinusoidal bumps) matters: a featureless slanted plane
+    leaves in-plane translation unconstrained, making the GN system
+    near-singular and the converged pose hypersensitive to f32 reduction
+    order — which is what the sharded-vs-single comparison must NOT be."""
     rng = np.random.default_rng(0)
     intr = CameraIntrinsics(fx=40.0, fy=40.0, cx=w / 2 - 0.5, cy=h / 2 - 0.5, width=w, height=h)
     base_tex = (rng.uniform(50, 200, size=(h + 16, w + 16, 3))).astype(np.uint8)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     colors, depths = [], []
     for i in range(n_frames):
-        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        depth = (2000 + 3 * (xs + i) + 2 * ys).astype(np.uint16)
+        xi = xs + i
+        relief = 40 * np.sin(xi * 0.35) * np.cos(ys * 0.3)
+        depth = (2000 + 3 * xi + 2 * ys + relief).astype(np.uint16)
         color = base_tex[4 : 4 + h, 4 + i : 4 + i + w]
         colors.append(color)
         depths.append(depth)
@@ -56,19 +63,16 @@ def test_sharded_odometry_matches_single_device():
         mesh=mesh,
     )
     # Sharded reductions reassociate f32 sums; the ICP fixed-point loop
-    # amplifies this (a reassociated sum can flip a gate), so agreement is
-    # at the few-1e-3 level — well inside the ATE parity bound (SURVEY §7
-    # phase-5 gate) and orders below any structural divergence.
-    np.testing.assert_allclose(
-        np.asarray(traj_single.camera_to_world.rotation),
-        np.asarray(traj_sharded.camera_to_world.rotation),
-        atol=5e-3,
-    )
-    np.testing.assert_allclose(
-        np.asarray(traj_single.camera_to_world.translation),
-        np.asarray(traj_sharded.camera_to_world.translation),
-        atol=5e-3,
-    )
+    # amplifies this (a reassociated sum can flip a gate), so compare in
+    # pose space with a tolerance meaningful to the domain: per-frame
+    # relative pose within 0.5 deg / 1 cm — well inside the ATE parity
+    # bound (SURVEY §7 phase-5 gate) and orders below any structural
+    # divergence (which shows up as degrees/decimeters).
+    diff = traj_single.camera_to_world.inverse() @ traj_sharded.camera_to_world
+    max_angle = float(jnp.max(diff.angle()))
+    max_trans = float(jnp.max(jnp.linalg.norm(diff.translation, axis=-1)))
+    assert max_angle < np.radians(0.5), max_angle
+    assert max_trans < 0.01, max_trans
 
 
 def test_batched_multiscale_matches_sequential():
