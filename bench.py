@@ -2,7 +2,7 @@
 
 Mirrors the reference's ``benches/bench_image_icp.rs`` workload — one
 640x480 RGB-D pair, 10 GN iterations — on the fused banded-gather Pallas
-engine (align3d_tpu/ops/icp_pallas.py). Baseline: 38.576 ms/pair on the
+v3 engine (align3d_tpu/ops/icp_pallas_v3.py). Baseline: 38.576 ms/pair on the
 reference's i7-11800H (README.md:128-134, BASELINE.md).
 
 Prints ONE JSON line:
@@ -39,11 +39,9 @@ def main() -> int:
     import jax.numpy as jnp
 
     from align3d_tpu.camera import CameraIntrinsics
-    from align3d_tpu.icp.image_icp import align_impl_pallas
+    from align3d_tpu.icp.image_icp import align_impl_pallas_v3_batched
     from align3d_tpu.icp.params import IcpParams
     from align3d_tpu.range_image import build_pyramid_impl
-
-    from align3d_tpu.icp.image_icp import align_impl_pallas_batched
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
@@ -95,7 +93,7 @@ def main() -> int:
     def bench_fn(rot, tr, reps):
         def body(_, carry):
             r, t, acc = carry
-            br, bt, bres = align_impl_pallas_batched(r, t, *bargs, intr, params)
+            br, bt, bres = align_impl_pallas_v3_batched(r, t, *bargs, intr, params)
             return (rot, tr + 1e-12 * jnp.sum(bres), acc + jnp.sum(bres))
 
         r, t, acc = jax.lax.fori_loop(0, reps, body, (rot, tr, jnp.float32(0)))
