@@ -438,7 +438,7 @@ def align_impl_pallas_v3(
     target_intensity_map: Array,
     intrinsics: CameraIntrinsics,
     params: IcpParams,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[Array, Array, Array]:
     """align_impl on the v3 lean banded kernel (ops/icp_pallas_v3.py).
 
@@ -451,6 +451,10 @@ def align_impl_pallas_v3(
 
     if params.huber_delta is not None:
         raise NotImplementedError("huber_delta is not supported by the pallas engine")
+    if interpret is None:
+        # Mosaic kernels only compile for TPU; on CPU (tests, virtual-mesh
+        # CI) the same kernel runs via the Pallas interpreter.
+        interpret = jax.default_backend() != "tpu"
 
     h2, w2 = target_intensity_map.shape
     h, w = h2 - 2, w2 - 2
@@ -472,14 +476,14 @@ def align_impl_pallas_v3(
         params.max_color_distance,
         params.band_radius,
     )
-    cb0, dyb0, dxb0 = k3.predict_bases(
-        initial_rotation, initial_translation, sp, intrinsics, h
-    )
-
     def body(_, carry):
-        rot, trans, cb, dyb, dxb, best_res, best_rot, best_trans = carry
-        geo_aug, col_aug, stats = k3.icp_step_pallas(
-            rot, trans, cb, dyb, dxb, sp, tp, intrinsics, h, w, pt, interpret
+        rot, trans, best_res, best_rot, best_trans = carry
+        # Fresh band prediction from the CURRENT transform (strided dense
+        # projection — a few % of the kernel cost) keeps the dy radius at 1.
+        cb, dyb, dxb = k3.predict_bases(rot, trans, sp, intrinsics, h, stride=4)
+        geo_aug, col_aug, _ = k3.icp_step_pallas(
+            rot, trans, cb, dyb, dxb, sp, tp, intrinsics, h, w, pt, interpret,
+            emit_stats=False,
         )
         geom, color = _gn_from_aug16(geo_aug, col_aug)
         merged = geom.add_weighted(
@@ -488,7 +492,6 @@ def align_impl_pallas_v3(
         residual = merged.mean_squared_residual()
         update = merged.solve()
         new_transform = Transform.exp(update) @ Transform(rot, trans)
-        cb2, dyb2, dxb2 = k3.bases_from_stats(stats, dyb, dxb, hp)
 
         better = residual < best_res
         best_res = jnp.where(better, residual, best_res)
@@ -497,9 +500,6 @@ def align_impl_pallas_v3(
         return (
             new_transform.rotation,
             new_transform.translation,
-            cb2,
-            dyb2,
-            dxb2,
             best_res,
             best_rot,
             best_trans,
@@ -508,15 +508,12 @@ def align_impl_pallas_v3(
     init = (
         initial_rotation,
         initial_translation,
-        cb0,
-        dyb0,
-        dxb0,
         jnp.float32(jnp.inf),
         initial_rotation,
         initial_translation,
     )
     out = jax.lax.fori_loop(0, params.max_iterations, body, init)
-    return out[6], out[7], out[5]
+    return out[3], out[4], out[2]
 
 
 def align_impl_pallas_v3_batched(
@@ -531,7 +528,7 @@ def align_impl_pallas_v3_batched(
     target_intensity_map: Array,  # (B, H+2, W+2)
     intrinsics: CameraIntrinsics,
     params: IcpParams,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[Array, Array, Array]:
     """Batched v3 align: one kernel launch per GN iteration covers all B
     pairs. The TPU throughput configuration."""
@@ -539,6 +536,8 @@ def align_impl_pallas_v3_batched(
 
     if params.huber_delta is not None:
         raise NotImplementedError("huber_delta is not supported by the pallas engine")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     bsz = source_points.shape[0]
     h2, w2 = target_intensity_map.shape[1], target_intensity_map.shape[2]
@@ -561,14 +560,12 @@ def align_impl_pallas_v3_batched(
         params.max_color_distance,
         params.band_radius,
     )
-    cb0, dyb0, dxb0 = k3.predict_bases_batched(
-        initial_rotation, initial_translation, sp, intrinsics, h
-    )
-
     def body(_, carry):
-        rot, trans, cb, dyb, dxb, best_res, best_rot, best_trans = carry
-        geo_aug, col_aug, stats = k3.icp_step_pallas_batched(
-            rot, trans, cb, dyb, dxb, sp, tp, intrinsics, h, w, pt, interpret
+        rot, trans, best_res, best_rot, best_trans = carry
+        cb, dyb, dxb = k3.predict_bases_batched(rot, trans, sp, intrinsics, h, stride=4)
+        geo_aug, col_aug, _ = k3.icp_step_pallas_batched(
+            rot, trans, cb, dyb, dxb, sp, tp, intrinsics, h, w, pt, interpret,
+            emit_stats=False,
         )
         geom, color = _gn_from_aug16(geo_aug, col_aug)
         merged = geom.add_weighted(
@@ -577,7 +574,6 @@ def align_impl_pallas_v3_batched(
         residual = merged.mean_squared_residual()  # (B,)
         update = merged.solve()  # (B, 6)
         new_transform = Transform.exp(update) @ Transform(rot, trans)
-        cb2, dyb2, dxb2 = k3.bases_from_stats_batched(stats, dyb, dxb, hp)
 
         better = residual < best_res
         best_res = jnp.where(better, residual, best_res)
@@ -586,9 +582,6 @@ def align_impl_pallas_v3_batched(
         return (
             new_transform.rotation,
             new_transform.translation,
-            cb2,
-            dyb2,
-            dxb2,
             best_res,
             best_rot,
             best_trans,
@@ -597,15 +590,12 @@ def align_impl_pallas_v3_batched(
     init = (
         initial_rotation,
         initial_translation,
-        cb0,
-        dyb0,
-        dxb0,
         jnp.full((bsz,), jnp.inf, jnp.float32),
         initial_rotation,
         initial_translation,
     )
     out = jax.lax.fori_loop(0, params.max_iterations, body, init)
-    return out[6], out[7], out[5]
+    return out[3], out[4], out[2]
 
 
 _ENGINES = {

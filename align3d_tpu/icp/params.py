@@ -34,9 +34,12 @@ class IcpParams:
     engine: str = "xla"
     # Pallas engine only: candidate-row radius of the banded association
     # (pixels whose correspondence row deviates more than this from the
-    # per-group tracked prediction are dropped). 2 is conservative; 1 is
-    # ~1.5x faster and measured equivalent on the sample sequences.
-    band_radius: int = 2
+    # per-group tracked prediction are dropped). 1 covers the per-chunk
+    # row-displacement spread once coarse levels have removed bulk motion
+    # and meets the reference accuracy bars on the sample sequences
+    # (tests/test_icp.py); raise to 2 for larger inter-frame motion at
+    # ~1.5x the per-iteration cost.
+    band_radius: int = 1
 
     def replace(self, **kw) -> "IcpParams":
         return dataclasses.replace(self, **kw)

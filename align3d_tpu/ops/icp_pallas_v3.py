@@ -12,7 +12,7 @@ sublanes up to 8 (37% wasted VPU work). v3 restructures both:
   bit is folded into ``z > 0`` (invalid pixels store z = 0 exactly), and
   normals are stored as raw f32 (no 12-bit quantization), so all
   per-pixel data fits 7 of the 8 channels:
-    c0: z            c1: nx   c2: ny   c3: nz
+    c0: z (invalid pixels store exactly 0)   c1: nx   c2: ny   c3: nz
     c4..c6: the 3x3 intensity taps, 3 u8 taps per f32 word
             (t[3k]*65536 + t[3k+1]*256 + t[3k+2] — 24 bits, exact)
 * **Two-channel source pack** ``(nchunks, 2, CHUNK*G, 128)`` = [z,
@@ -63,7 +63,7 @@ CHUNK = 16  # source rows per grid step
 HALO = 8  # extra target rows on each side of the chunk's predicted band
 BAND = CHUNK + 2 * HALO
 DY_RADIUS = 1  # default candidate-row radius around the predicted row
-NCH = 8  # channels (c7 unused)
+NCH = 7  # packed target channels
 
 
 def _ceil_div(a: int, b: int) -> int:
@@ -104,9 +104,8 @@ def pack_target(
         taps_u8[0] * 65536.0 + taps_u8[1] * 256.0 + taps_u8[2],
         taps_u8[3] * 65536.0 + taps_u8[4] * 256.0 + taps_u8[5],
         taps_u8[6] * 65536.0 + taps_u8[7] * 256.0 + taps_u8[8],
-        jnp.zeros((h, w), jnp.float32),
     ]
-    t = jnp.stack(channels, axis=0)  # (8, H, W)
+    t = jnp.stack(channels, axis=0)  # (7, H, W)
     t = jnp.pad(t, ((0, 0), (0, hp - h), (0, g * 128 - w)))
     # (8, Hp, G, 128) -> (G, 8, Hp, 128)
     return t.reshape(NCH, hp, g, 128).transpose(2, 0, 1, 3)
@@ -132,16 +131,18 @@ def pack_source(
     return s.reshape(nchunks, 2, g * CHUNK, 128)
 
 
-def _ray_uv(rotation, translation, source_pack, intrinsics, f32=jnp.float32):
+def _ray_uv(rotation, translation, source_pack, intrinsics, stride=1, f32=jnp.float32):
     """Dense XLA projection of the packed source under (R, t); returns
-    (u_int, v_int, valid) each (nchunks, K, 128) plus row/col index maps."""
-    z = source_pack[:, 0]  # (nchunks, K, 128)
-    nchunks, k = z.shape[0], z.shape[1]
+    (u_int, v_int, valid) each (nchunks, K/stride, 128/stride) plus row/col
+    index maps. ``stride`` subsamples pixels (CHUNK must divide by it) —
+    block means only need a sample."""
+    z = source_pack[:, 0, ::stride, ::stride]  # (nchunks, K/stride, 128/stride)
+    nchunks, k = z.shape[0], z.shape[1] * stride
     g = k // CHUNK
-    r_io = jnp.arange(k)
+    r_io = jnp.arange(0, k, stride)
     jj = r_io // CHUNK
     s_in = r_io % CHUNK
-    lane = jnp.arange(128)
+    lane = jnp.arange(0, 128, stride)
     col = (jj[:, None] * 128 + lane[None, :]).astype(f32)  # (K, 128)
     row = (
         jnp.arange(nchunks)[:, None, None] * CHUNK + s_in[None, :, None]
@@ -166,21 +167,28 @@ def predict_bases(
     source_pack: Array,  # (nchunks, 2, K, 128)
     intrinsics: CameraIntrinsics,
     h: int,
+    stride: int = 1,
 ) -> tuple[Array, Array, Array]:
-    """Initial per-chunk band starts + per-(chunk, group) row/col offsets
-    from a dense projection of the initial transform (v2 predict_bases on
-    the v3 pack). Returns (chunk_base (nchunks,), dy_base (nchunks, G),
+    """Per-chunk band starts + per-(chunk, group) row/col displacement bases
+    from a dense (optionally strided) projection of ``(rotation,
+    translation)``. Called before every kernel iteration with the current
+    transform — fresh predictions keep the dy radius at 1 (a stale-stats
+    feedback scheme like v2's needed radius 2 to absorb one iteration of
+    prediction lag). Returns (chunk_base (nchunks,), dy_base (nchunks, G),
     dx_base (nchunks, G)) as i32."""
     nchunks, k = source_pack.shape[0], source_pack.shape[2]
     g = k // CHUNK
     hp = nchunks * CHUNK
-    u_int, v_int, m, row, col = _ray_uv(rotation, translation, source_pack, intrinsics)
+    cs = CHUNK // stride
+    u_int, v_int, m, row, col = _ray_uv(
+        rotation, translation, source_pack, intrinsics, stride
+    )
     mf = m.astype(jnp.float32)
     dy = (v_int - row) * mf
     dx = (u_int - col[None]) * mf
-    dy = dy.reshape(nchunks, g, CHUNK, 128)
-    dx = dx.reshape(nchunks, g, CHUNK, 128)
-    mfc = mf.reshape(nchunks, g, CHUNK, 128)
+    dy = dy.reshape(nchunks, g, cs, 128 // stride)
+    dx = dx.reshape(nchunks, g, cs, 128 // stride)
+    mfc = mf.reshape(nchunks, g, cs, 128 // stride)
     cnt = jnp.maximum(jnp.sum(mfc, axis=(2, 3)), 1.0)
     dy_base = jnp.round(jnp.sum(dy, axis=(2, 3)) / cnt).astype(jnp.int32)
     dx_base = jnp.round(jnp.sum(dx, axis=(2, 3)) / cnt).astype(jnp.int32)
@@ -220,8 +228,8 @@ def bases_from_stats(
     return chunk_base, dy_base, dx_base
 
 
-def predict_bases_batched(rotation, translation, source_pack, intrinsics, h):
-    return jax.vmap(lambda r, t, s: predict_bases(r, t, s, intrinsics, h))(
+def predict_bases_batched(rotation, translation, source_pack, intrinsics, h, stride=1):
+    return jax.vmap(lambda r, t, s: predict_bases(r, t, s, intrinsics, h, stride))(
         rotation, translation, source_pack
     )
 
@@ -241,15 +249,14 @@ def _icp_kernel_v3(
     src_ref,  # (1, 1, 2, K, 128) VMEM source chunk of pair b
     tr_ref,  # (B, 16) SMEM [r00..r22, t0..t2, pad]
     tpack_ref,  # (B, G, 8, Hp, 128) HBM target tiles
-    # outputs
-    sys_ref,  # (1, 16, 128) VMEM accumulated 16x16 augmented system
-    stats_ref,  # (1, 1, 3, G, 8, 128) displacement partial sums
-    # scratch
-    band,  # (2, G, 8, BAND_EFF, 128) VMEM double-buffered target band
-    gath,  # (8, K, 128) VMEM gathered channels
-    sems,  # DMA semaphores (2,)
-    *,
+    # outputs: sys_ref (1, 16, 128) accumulated 16x16 augmented system,
+    # then (only when emit_stats) stats_ref (1, 1, 3, G, 8, 128), then
+    # scratch: band (2, G, NCH, BAND_EFF, 128) double-buffered target band,
+    # gath (NCH, K, 128) gathered channels, sems (2,) DMA semaphores.
+    sys_ref,
+    *rest,
     g: int,
+    emit_stats: bool,
     h: int,
     w: int,
     band_rows: int,
@@ -262,6 +269,10 @@ def _icp_kernel_v3(
     max_color_distance_sqr: float,
     dy_radius: int,
 ):
+    if emit_stats:
+        stats_ref, band, gath, sems = rest
+    else:
+        band, gath, sems = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     nchunks = pl.num_programs(1)
@@ -498,13 +509,19 @@ def _icp_kernel_v3(
 
     sys_ref[0, :, 0:16] += out16
 
-    # ---- displacement stats for the next iteration's band ----------------
+    # ---- displacement stats (optional; align loops re-predict instead) ----
+    if not emit_stats:
+        return
     pw = ((z > 0) & inb).astype(f32)
     dy_val = (v_int - row_f) * pw
     dx_val = (u_int - col_f) * pw
+
+    # One aligned (8, 128) partial per (stat, group): a single halving add;
+    # further folding to one row costs sublane relayouts (measured +24 us/
+    # pair/iter), so the host glue finishes the reduction.
+    half = CHUNK // 2
     for j in range(g):
         sl = slice(j * CHUNK, (j + 1) * CHUNK)
-        half = CHUNK // 2
         stats_ref[0, 0, 0, j] = dy_val[sl][:half] + dy_val[sl][half:]
         stats_ref[0, 0, 1, j] = dx_val[sl][:half] + dx_val[sl][half:]
         stats_ref[0, 0, 2, j] = pw[sl][:half] + pw[sl][half:]
@@ -512,7 +529,7 @@ def _icp_kernel_v3(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intrinsics", "h", "w", "params_tuple", "interpret"),
+    static_argnames=("intrinsics", "h", "w", "params_tuple", "interpret", "emit_stats"),
 )
 def icp_step_pallas_batched(
     rotation: Array,  # (B, 3, 3)
@@ -527,12 +544,16 @@ def icp_step_pallas_batched(
     w: int,
     params_tuple: tuple,  # (max_distance, max_normal_angle, max_color_distance[, radius])
     interpret: bool = False,
+    emit_stats: bool = True,
 ) -> tuple[Array, Array, Array]:
     """One banded GN accumulation over a batch of pairs (grid (B, nchunks)).
 
-    Returns (geo_aug (B, 8, 8), color_aug (B, 8, 8), stats (B, nchunks, 3,
-    G, 8, 128)): augmented systems [[H, g], [g^T, sum w r^2]] with the gate
-    count at [7, 7].
+    Returns (geo_aug (B, 8, 8), color_aug (B, 8, 8), stats): augmented
+    systems [[H, g], [g^T, sum w r^2]] with the gate count at [7, 7];
+    ``stats`` is (B, nchunks, 3, G, 8, 128) displacement partials for
+    :func:`bases_from_stats`, or None when ``emit_stats=False`` (the align
+    loops re-predict bases from the updated transform instead, which is
+    both cheaper and fresher).
     """
     bsz, nchunks = source_pack.shape[0], source_pack.shape[1]
     k = source_pack.shape[3]
@@ -565,6 +586,7 @@ def icp_step_pallas_batched(
         max_normal_angle=float(max_normal_angle),
         max_color_distance_sqr=float(max_color_distance) ** 2,
         dy_radius=dy_radius,
+        emit_stats=emit_stats,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -585,11 +607,17 @@ def icp_step_pallas_batched(
                 lambda b, i, cb, dyb, dxb: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, 3, g, 8, 128),
-                lambda b, i, cb, dyb, dxb: (b, i, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        )
+        + (
+            (
+                pl.BlockSpec(
+                    (1, 1, 3, g, 8, 128),
+                    lambda b, i, cb, dyb, dxb: (b, i, 0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            )
+            if emit_stats
+            else ()
         ),
         scratch_shapes=[
             pltpu.VMEM((2, g, NCH, band_rows, 128), jnp.float32),
@@ -598,17 +626,20 @@ def icp_step_pallas_batched(
         ],
     )
 
-    out, stats = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, 16, 128), jnp.float32),
+    out_shape = (jax.ShapeDtypeStruct((bsz, 16, 128), jnp.float32),)
+    if emit_stats:
+        out_shape += (
             jax.ShapeDtypeStruct((bsz, nchunks, 3, g, 8, 128), jnp.float32),
-        ),
+        )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(chunk_base, dy_base, dx_base, source_pack, tr, target_pack)
 
-    aug = out[:, :, 0:16]
+    aug = outs[0][:, :, 0:16]
+    stats = outs[1] if emit_stats else None
     return aug[:, 0:8, 0:8], aug[:, 8:16, 8:16], stats
 
 
@@ -625,6 +656,7 @@ def icp_step_pallas(
     w: int,
     params_tuple: tuple,
     interpret: bool = False,
+    emit_stats: bool = True,
 ) -> tuple[Array, Array, Array]:
     """Single-pair convenience wrapper over :func:`icp_step_pallas_batched`."""
     geo, col, stats = icp_step_pallas_batched(
@@ -640,5 +672,6 @@ def icp_step_pallas(
         w,
         params_tuple,
         interpret,
+        emit_stats,
     )
-    return geo[0], col[0], stats[0]
+    return geo[0], col[0], stats[0] if emit_stats else None

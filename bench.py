@@ -93,20 +93,25 @@ def main() -> int:
     def bench_fn(rot, tr, reps):
         def body(_, carry):
             r, t, acc = carry
-            br, bt, bres = align_impl_pallas_v3_batched(r, t, *bargs, intr, params)
-            return (rot, tr + 1e-12 * jnp.sum(bres), acc + jnp.sum(bres))
+            # acc feeds the next rep's initial translation: every rep is
+            # strictly serialized and none can be CSE'd away.
+            br, bt, bres = align_impl_pallas_v3_batched(
+                r, t + 1e-12 * acc, *bargs, intr, params
+            )
+            return (r, t, acc + jnp.sum(bres))
 
         r, t, acc = jax.lax.fori_loop(0, reps, body, (rot, tr, jnp.float32(0)))
-        return acc + jnp.sum(t)
+        return acc
 
+    LO, HI = 1, 9
     t0 = time.perf_counter()
-    _ = float(bench_fn(rot0, tr0, 1))
-    log(f"compile (1 rep): {time.perf_counter() - t0:.2f}s")
+    _ = float(bench_fn(rot0, tr0, LO))
+    log(f"compile ({LO} rep): {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
-    _ = float(bench_fn(rot0, tr0, 3))
-    log(f"compile (3 reps): {time.perf_counter() - t0:.2f}s")
+    _ = float(bench_fn(rot0, tr0, HI))
+    log(f"compile ({HI} reps): {time.perf_counter() - t0:.2f}s")
 
-    def best_of(reps, calls=3):
+    def best_of(reps, calls=4):
         best = 1e9
         for _ in range(calls):
             t0 = time.perf_counter()
@@ -114,11 +119,13 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo = best_of(1)
-    t_hi = best_of(3)
-    ms_per_pair = (t_hi - t_lo) / (2 * BATCH) * 1000.0
+    # Slope between rep counts cancels the tunnel's fixed ~30 ms dispatch
+    # RPC latency (block_until_ready does not cover it).
+    t_lo = best_of(LO)
+    t_hi = best_of(HI)
+    ms_per_pair = (t_hi - t_lo) / ((HI - LO) * BATCH) * 1000.0
     log(
-        f"marginal over {2 * BATCH} pair-aligns x {ITERS} iters: "
+        f"slope over {(HI - LO) * BATCH} pair-aligns x {ITERS} iters: "
         f"{ms_per_pair:.3f} ms/pair ({1000.0 / ms_per_pair:.1f} pairs/s)"
     )
 

@@ -93,7 +93,7 @@ def main() -> int:
     rot0 = tile(jnp.eye(3))
     tr0 = tile(jnp.zeros(3))
 
-    def best_of(fn, reps, calls=3):
+    def best_of(fn, reps, calls=4):
         best = 1e9
         for _ in range(calls):
             t0 = time.perf_counter()
@@ -101,16 +101,18 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    LO, HI = 1, 9
+
     def measure(fn, name):
         t0 = time.perf_counter()
-        _ = float(fn(rot0, tr0, 1))
-        log(f"{name} compile(1): {time.perf_counter() - t0:.1f}s")
+        _ = float(fn(rot0, tr0, LO))
+        log(f"{name} compile({LO}): {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
-        _ = float(fn(rot0, tr0, 3))
-        log(f"{name} compile(3): {time.perf_counter() - t0:.1f}s")
-        t_lo = best_of(fn, 1)
-        t_hi = best_of(fn, 3)
-        us = (t_hi - t_lo) / (2 * BATCH * ITERS) * 1e6
+        _ = float(fn(rot0, tr0, HI))
+        log(f"{name} compile({HI}): {time.perf_counter() - t0:.1f}s")
+        t_lo = best_of(fn, LO)
+        t_hi = best_of(fn, HI)
+        us = (t_hi - t_lo) / ((HI - LO) * BATCH * ITERS) * 1e6
         log(f"{name}: {us:.1f} us/pair/iter")
         print(
             json.dumps(
@@ -129,14 +131,19 @@ def main() -> int:
     # ---- full align ------------------------------------------------------
     if not args.skip_full:
         @functools.partial(jax.jit, static_argnames=("reps",))
-        def full_fn(rot, tr, reps):
+        def full_impl(rot, tr, reps, *ba):
             def body(_, carry):
                 r, t, acc = carry
-                br, bt, bres = align_impl_pallas_batched(r, t, *bargs, intr, params)
-                return (rot, tr + 1e-12 * jnp.sum(bres), acc + jnp.sum(bres))
+                br, bt, bres = align_impl_pallas_batched(
+                    r, t + 1e-12 * acc, *ba, intr, params
+                )
+                return (r, t, acc + jnp.sum(bres))
 
             r, t, acc = jax.lax.fori_loop(0, reps, body, (rot, tr, jnp.float32(0)))
-            return acc + jnp.sum(t)
+            return acc
+
+        def full_fn(rot, tr, reps):
+            return full_impl(rot, tr, reps, *bargs)
 
         measure(full_fn, f"full_align_{args.engine}_r{args.radius}")
 
@@ -162,20 +169,25 @@ def main() -> int:
         )
 
         @functools.partial(jax.jit, static_argnames=("reps",))
-        def kern_fn(rot, tr, reps):
+        def kern_impl(rot, tr, reps, sp, tp):
             cb0, dyb0, dxb0 = icp_pallas.predict_bases_batched(rot, tr, sp, intr, H)
 
             def body(_, carry):
                 r, t, acc = carry
+                t = t + 1e-30 * acc
                 for _ in range(ITERS):
                     geo, col, stats = icp_pallas.icp_step_pallas_batched(
-                        r, t, cb0, dyb0, dxb0, sp, tp, intr, H, W, pt
+                        r, t, cb0, dyb0, dxb0, sp, tp, intr, H, W, pt,
+                        **({"emit_stats": False} if args.engine == "v3" else {}),
                     )
                     t = t + 1e-30 * geo[:, 7, 7, None]
                 return (r, t, acc + jnp.sum(geo[:, 7, 7]))
 
             r, t, acc = jax.lax.fori_loop(0, reps, body, (rot, tr, jnp.float32(0)))
             return acc + jnp.sum(t)
+
+        def kern_fn(rot, tr, reps):
+            return kern_impl(rot, tr, reps, sp, tp)
 
         measure(kern_fn, f"kernel_only_{args.engine}_r{args.radius}")
 
