@@ -43,6 +43,18 @@ class RgbdImage:
     def height(self) -> int:
         return self.color.shape[0]
 
+    def downsample(self, sigma: float) -> "RgbdImage":
+        """Half-resolution copy: Gaussian-blurred stride-2 color + bilateral
+        filter-then-decimate depth (reference ``Downsample for RgbdImage``,
+        src/image/rgbd_image.rs:45-59)."""
+        from align3d_tpu.ops.bilateral import BilateralFilter
+
+        color = np.asarray(py_scale_down(jnp.asarray(self.color), sigma))
+        depth = np.asarray(
+            BilateralFilter().scale_down(jnp.asarray(self.depth))
+        ).astype(self.depth.dtype)
+        return RgbdImage(color=color, depth=depth, depth_scale=self.depth_scale)
+
 
 @dataclasses.dataclass
 class RgbdFrame:
@@ -51,6 +63,26 @@ class RgbdFrame:
     camera: CameraIntrinsics
     image: RgbdImage
     camera_to_world: Transform | None = None
+
+    def get_pinhole_camera(self):
+        """Intrinsics + pose, when ground truth exists (rgbd_image.rs:88-93)."""
+        from align3d_tpu.camera import PinholeCamera
+
+        if self.camera_to_world is None:
+            return None
+        return PinholeCamera(self.camera, self.camera_to_world)
+
+    def downsample(self, sigma: float) -> "RgbdFrame":
+        """Half resolution: image downsampled, intrinsics scaled by 0.5
+        (reference ``Downsample for RgbdFrame``, src/image/rgbd_image.rs:95-106)."""
+        image = self.image.downsample(sigma)
+        # The reference's scale() keeps width/height (src/camera.rs:119-128);
+        # we additionally sync them to the decimated image so the frame stays
+        # internally consistent.
+        camera = self.camera.scale(0.5).with_size(image.width, image.height)
+        return RgbdFrame(
+            camera=camera, image=image, camera_to_world=self.camera_to_world
+        )
 
 
 def rgb_to_luma(r, g, b):
