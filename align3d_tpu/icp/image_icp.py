@@ -476,11 +476,14 @@ def align_impl_pallas_v3(
         params.max_color_distance,
         params.band_radius,
     )
+    centroids = k3.source_centroids(sp, intrinsics)
+
     def body(_, carry):
         rot, trans, best_res, best_rot, best_trans = carry
-        # Fresh band prediction from the CURRENT transform (strided dense
-        # projection — a few % of the kernel cost) keeps the dy radius at 1.
-        cb, dyb, dxb = k3.predict_bases(rot, trans, sp, intrinsics, h, stride=4)
+        # Fresh band prediction from the CURRENT transform: project one
+        # precomputed centroid per (chunk, group) — keeps the dy radius at 1
+        # at negligible per-iteration cost.
+        cb, dyb, dxb = k3.predict_bases_centroid(rot, trans, centroids, intrinsics, hp)
         geo_aug, col_aug, _ = k3.icp_step_pallas(
             rot, trans, cb, dyb, dxb, sp, tp, intrinsics, h, w, pt, interpret,
             emit_stats=False,
@@ -560,9 +563,13 @@ def align_impl_pallas_v3_batched(
         params.max_color_distance,
         params.band_radius,
     )
+    centroids = k3.source_centroids_batched(sp, intrinsics)
+
     def body(_, carry):
         rot, trans, best_res, best_rot, best_trans = carry
-        cb, dyb, dxb = k3.predict_bases_batched(rot, trans, sp, intrinsics, h, stride=4)
+        cb, dyb, dxb = k3.predict_bases_centroid_batched(
+            rot, trans, centroids, intrinsics, hp
+        )
         geo_aug, col_aug, _ = k3.icp_step_pallas_batched(
             rot, trans, cb, dyb, dxb, sp, tp, intrinsics, h, w, pt, interpret,
             emit_stats=False,

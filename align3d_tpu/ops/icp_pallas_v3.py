@@ -200,6 +200,100 @@ def predict_bases(
     return chunk_base, dy_base, dx_base
 
 
+def source_centroids(
+    source_pack: Array,  # (nchunks, 2, K, 128)
+    intrinsics: CameraIntrinsics,
+) -> tuple[Array, Array, Array, Array]:
+    """Per-(chunk, group) masked mean source point + mean pixel row/col.
+
+    One-time precomputation per align. Feeds :func:`predict_bases_centroid`,
+    which replaces the dense strided per-iteration projection of
+    :func:`predict_bases` with a projection of ONE representative point per
+    (chunk, group) — mean-of-projections ≈ projection-of-mean to second
+    order in the in-group depth spread, and the band halo (8 rows) plus the
+    dy radius absorb that error exactly as they absorb the rounding the
+    dense path already had.
+
+    Returns (pbar (nchunks, G, 3), rowbar (nchunks, G), colbar (nchunks, G),
+    cnt (nchunks, G)).
+    """
+    f32 = jnp.float32
+    z = source_pack[:, 0]  # (nchunks, K, 128)
+    nchunks, k = z.shape[0], z.shape[1]
+    g = k // CHUNK
+    r_io = jnp.arange(k)
+    jj = r_io // CHUNK
+    s_in = r_io % CHUNK
+    lane = jnp.arange(128)
+    col = (jj[:, None] * 128 + lane[None, :]).astype(f32)  # (K, 128)
+    row = (
+        jnp.arange(nchunks)[:, None, None] * CHUNK + s_in[None, :, None]
+    ).astype(f32)  # (nchunks, K, 1)
+    dirx = (col - f32(intrinsics.cx)) * f32(1.0 / intrinsics.fx)
+    diry = (row - f32(intrinsics.cy)) * f32(1.0 / intrinsics.fy)
+    m = (z > 0).astype(f32)
+
+    def gsum(a):  # (nchunks, K, 128) -> (nchunks, G); rows are j-major
+        return jnp.sum(a.reshape(nchunks, g, CHUNK, 128), axis=(2, 3))
+
+    cnt = gsum(m)
+    safe = jnp.maximum(cnt, 1.0)
+    pbar = (
+        jnp.stack([gsum(dirx[None] * z), gsum(diry * z), gsum(z)], axis=-1)
+        / safe[..., None]
+    )
+    rowbar = gsum(jnp.broadcast_to(row, z.shape) * m) / safe
+    colbar = gsum(col[None] * m) / safe
+    return pbar, rowbar, colbar, cnt
+
+
+def predict_bases_centroid(
+    rotation: Array,
+    translation: Array,
+    centroids: tuple[Array, Array, Array, Array],
+    intrinsics: CameraIntrinsics,
+    hp: int,
+) -> tuple[Array, Array, Array]:
+    """(chunk_base, dy_base, dx_base) from the per-(chunk, group) centroids.
+
+    Same contract as :func:`predict_bases` but O(nchunks*G) work per
+    iteration instead of a dense projection — the per-iteration band
+    prediction cost disappears from the align loop.
+    """
+    f32 = jnp.float32
+    pbar, rowbar, colbar, cnt = centroids
+    nchunks = pbar.shape[0]
+    p = pbar @ rotation.T + translation  # (nchunks, G, 3)
+    pz = p[..., 2]
+    safe_z = jnp.where(pz == 0.0, f32(1e-12), pz)
+    u = p[..., 0] * f32(intrinsics.fx) / safe_z + f32(intrinsics.cx)
+    v = p[..., 1] * f32(intrinsics.fy) / safe_z + f32(intrinsics.cy)
+    dyf = v - rowbar
+    dxf = u - colbar
+    have = cnt > 0
+    dy_base = jnp.where(have, jnp.round(dyf), 0.0).astype(jnp.int32)
+    dx_base = jnp.where(have, jnp.round(dxf), 0.0).astype(jnp.int32)
+    chunk_cnt = jnp.maximum(jnp.sum(cnt, axis=-1), 1.0)
+    chunk_mean = jnp.sum(jnp.where(have, dyf, 0.0) * cnt, axis=-1) / chunk_cnt
+    chunk0 = jnp.arange(nchunks, dtype=jnp.int32) * CHUNK
+    chunk_base = jnp.clip(
+        chunk0 + jnp.round(chunk_mean).astype(jnp.int32) - HALO,
+        0,
+        max(hp - _band(hp), 0),
+    )
+    return chunk_base, dy_base, dx_base
+
+
+def source_centroids_batched(source_pack, intrinsics):
+    return jax.vmap(lambda s: source_centroids(s, intrinsics))(source_pack)
+
+
+def predict_bases_centroid_batched(rotation, translation, centroids, intrinsics, hp):
+    return jax.vmap(
+        lambda r, t, c: predict_bases_centroid(r, t, c, intrinsics, hp)
+    )(rotation, translation, centroids)
+
+
 def bases_from_stats(
     stats: Array,  # (nchunks, 3, G, 8, 128) kernel partial sums
     prev_dy_base: Array,  # (nchunks, G) i32
