@@ -187,7 +187,7 @@ def optimize(
         if mesh is None:
             h, g = build_system(nodes, edges, meas, weights)
         else:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
 
             axis = mesh.axis_names[0]
 
@@ -196,7 +196,7 @@ def optimize(
                 mesh=mesh,
                 in_specs=(P(), P(axis), P(axis), P(axis)),
                 out_specs=P(),
-                check_rep=False,
+                check_vma=False,
             )
             def sharded(nodes_r, edges_s, meas_s, weights_s):
                 h_s, g_s = build_system(nodes_r, edges_s, meas_s, weights_s)
