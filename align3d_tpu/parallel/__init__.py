@@ -15,6 +15,7 @@ from align3d_tpu.parallel.batch import (
     make_mesh,
 )
 from align3d_tpu.parallel.bundle_adjustment import BAProblem
+from align3d_tpu.parallel.sequence import odometry_sequence_parallel
 
 __all__ = [
     "build_pyramids_batched",
@@ -22,4 +23,5 @@ __all__ = [
     "odometry_step",
     "make_mesh",
     "BAProblem",
+    "odometry_sequence_parallel",
 ]

@@ -125,3 +125,47 @@ def test_synthetic_alignment_recovers_shift():
     # Motion is along +x in camera space (texture shifts), roughly constant.
     steps = np.diff(t[:, 0])
     assert np.std(steps) < 5 * abs(np.mean(steps)) + 1e-3
+
+
+def test_sequence_parallel_halo_exchange_matches_single_device():
+    """odometry_sequence_parallel (frame axis sharded, ppermute halo) ==
+    single-device odometry_step within the same pose-space tolerance."""
+    from align3d_tpu.icp.params import IcpParams, MsIcpParams
+    from align3d_tpu.parallel.sequence import odometry_sequence_parallel
+
+    intr, colors, depths = _synthetic_sequence(8)
+    params = MsIcpParams.repeat(2, IcpParams(max_iterations=3))
+
+    traj_single = pbatch.odometry_step(
+        intr, 0.001, jnp.asarray(colors), jnp.asarray(depths), params, pyramid_levels=2
+    )
+    mesh = pbatch.make_mesh()
+    traj_seq = odometry_sequence_parallel(
+        intr, 0.001, jnp.asarray(colors), jnp.asarray(depths), mesh,
+        params, pyramid_levels=2,
+    )
+    assert len(traj_seq) == len(traj_single) == 8
+    diff = traj_single.camera_to_world.inverse() @ traj_seq.camera_to_world
+    assert float(jnp.max(diff.angle())) < np.radians(0.5)
+    assert float(jnp.max(jnp.linalg.norm(diff.translation, axis=-1))) < 0.01
+
+
+def test_sequence_parallel_with_padding():
+    """N not divisible by the device count: padded pairs are trimmed."""
+    from align3d_tpu.icp.params import IcpParams, MsIcpParams
+    from align3d_tpu.parallel.sequence import odometry_sequence_parallel
+
+    intr, colors, depths = _synthetic_sequence(6)
+    params = MsIcpParams.repeat(2, IcpParams(max_iterations=3))
+    mesh = pbatch.make_mesh()
+    traj = odometry_sequence_parallel(
+        intr, 0.001, jnp.asarray(colors), jnp.asarray(depths), mesh,
+        params, pyramid_levels=2,
+    )
+    assert len(traj) == 6
+    # Frame 0 at origin; motion is monotone in x, so translations are finite
+    # and nonzero past frame 0.
+    t = np.asarray(traj.camera_to_world.translation)
+    assert np.all(np.isfinite(t))
+    np.testing.assert_allclose(t[0], 0.0, atol=1e-6)
+    assert np.linalg.norm(t[-1]) > 1e-3
