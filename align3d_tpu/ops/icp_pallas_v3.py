@@ -335,10 +335,12 @@ def bases_from_stats_batched(stats, prev_dy_base, prev_dx_base, hp):
 
 
 def _icp_kernel_v3(
-    # scalar prefetch
+    # scalar prefetch. dyb/dxb arrive FLATTENED to (B, nchunks*G): SMEM pads
+    # the trailing dim to 128 lanes, so a (B, nchunks, G) layout would burn
+    # B*nchunks*128 words (1 MB at B=64 — more than all of SMEM).
     cb_ref,  # (B, nchunks) i32 band start rows
-    dyb_ref,  # (B, nchunks, G) i32 row-displacement bases
-    dxb_ref,  # (B, nchunks, G) i32 column-displacement bases
+    dyb_ref,  # (B, nchunks*G) i32 row-displacement bases
+    dxb_ref,  # (B, nchunks*G) i32 column-displacement bases
     # inputs
     src_ref,  # (1, 1, 2, K, 128) VMEM source chunk of pair b
     tr_ref,  # (B, 16) SMEM [r00..r22, t0..t2, pad]
@@ -437,8 +439,8 @@ def _icp_kernel_v3(
     for j in range(g):
         ui_j = ui[j * CHUNK : (j + 1) * CHUNK]  # (CHUNK, 128)
         vi_j = vi[j * CHUNK : (j + 1) * CHUNK]
-        dyb_j = dyb_ref[b, i, j]
-        dxb_j = dxb_ref[b, i, j]
+        dyb_j = dyb_ref[b, i * g + j]
+        dxb_j = dxb_ref[b, i * g + j]
         if g > 1:
             # Anchor the 2-group window so the predicted column sits 64
             # lanes in: span of 128 source lanes + |residual| <= 64 always
@@ -730,7 +732,14 @@ def icp_step_pallas_batched(
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(chunk_base, dy_base, dx_base, source_pack, tr, target_pack)
+    )(
+        chunk_base,
+        dy_base.reshape(bsz, nchunks * g),
+        dx_base.reshape(bsz, nchunks * g),
+        source_pack,
+        tr,
+        target_pack,
+    )
 
     aug = outs[0][:, :, 0:16]
     stats = outs[1] if emit_stats else None

@@ -42,7 +42,8 @@ def main():
     from align3d_tpu.range_image import build_pyramid_impl
     from align3d_tpu.se3 import Transform
 
-    H, W, ITERS, B = 480, 640, 10, 64
+    H, W, ITERS = 480, 640, 10
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     rng = np.random.default_rng(0)
     intr = CameraIntrinsics(
         fx=525.0, fy=525.0, cx=W / 2 - 0.5, cy=H / 2 - 0.5, width=W, height=H
@@ -101,7 +102,7 @@ def main():
     cb0, dyb0, dxb0 = k3.predict_bases_centroid_batched(rot0, tr0, cent, intr, sp.shape[1] * k3.CHUNK)
 
     @jax.jit
-    def kernel_only(rot, tr, cb, dyb, dxb):
+    def kernel_only(rot, tr, cb, dyb, dxb, sp, tp):
         def body(_, carry):
             rot, trans = carry
             geo_aug, col_aug, _ = k3.icp_step_pallas_batched(
@@ -117,12 +118,33 @@ def main():
         return jax.lax.fori_loop(0, ITERS, body, (rot, tr))
 
     t0 = time.perf_counter()
-    out = kernel_only(rot0, tr0, cb0, dyb0, dxb0)
+    out = kernel_only(rot0, tr0, cb0, dyb0, dxb0, sp, tp)
     out[0].block_until_ready()
     log(f"kernel-only compile+run: {time.perf_counter()-t0:.1f}s")
-    s = slope(lambda: kernel_only(rot0, tr0, cb0, dyb0, dxb0))
+    s = slope(lambda: kernel_only(rot0, tr0, cb0, dyb0, dxb0, sp, tp))
     log(f"KERNEL-ONLY loop: {s*1000:.3f} ms/call = {s*1e6/B/ITERS:.2f} us/pair-iter "
         f"({s*1000/B:.4f} ms/pair)")
+
+    # ---- pack alone ----------------------------------------------------------
+    @jax.jit
+    def pack_only(pts_s, msk_s, int_s, pts_t, nrm_t, msk_t, imap_t):
+        sp2 = jax.vmap(k3.pack_source)(
+            pts_s.reshape(B, H, W, 3), msk_s.reshape(B, H, W), int_s.reshape(B, H, W)
+        )
+        tp2 = jax.vmap(k3.pack_target)(
+            pts_t.reshape(B, H, W, 3),
+            nrm_t.reshape(B, H, W, 3),
+            msk_t.reshape(B, H, W),
+            imap_t,
+        )
+        return (jnp.sum(sp2[:, 0, 0, 0]) + jnp.sum(tp2[:, 0, 0, 0, 0]))[None]
+
+    pk = (bargs[0], bargs[1], bargs[2], bargs[3], bargs[5], bargs[4], bargs[6])
+    out = pack_only(*pk)
+    out.block_until_ready()
+    s = slope(lambda: pack_only(*pk))
+    log(f"PACK only: {s*1000:.3f} ms/call = {s*1e6/B:.2f} us/pair "
+        f"(amortized over {ITERS} iters: {s*1e6/B/ITERS:.2f} us/pair-iter)")
 
     # ---- centroid predictor alone -------------------------------------------
     @jax.jit
