@@ -534,13 +534,56 @@ def align_impl_pallas_v3_batched(
     interpret: bool | None = None,
 ) -> tuple[Array, Array, Array]:
     """Batched v3 align: one kernel launch per GN iteration covers all B
-    pairs. The TPU throughput configuration."""
-    from align3d_tpu.ops import icp_pallas_v3 as k3
+    pairs. The TPU throughput configuration. Prepack + GN loop; callers that
+    align repeatedly should :func:`prepack_v3_batched` once and call
+    :func:`align_impl_pallas_v3_batched_packed` directly."""
+    sp, tp, centroids, h, w = prepack_v3_batched(
+        source_points,
+        source_mask,
+        source_intensity,
+        target_points,
+        target_mask,
+        target_normals,
+        target_intensity_map,
+        intrinsics,
+    )
+    return align_impl_pallas_v3_batched_packed(
+        initial_rotation,
+        initial_translation,
+        sp,
+        tp,
+        centroids,
+        intrinsics,
+        h,
+        w,
+        params,
+        interpret,
+    )
 
-    if params.huber_delta is not None:
-        raise NotImplementedError("huber_delta is not supported by the pallas engine")
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+
+def prepack_v3_batched(
+    source_points: Array,  # (B, N, 3)
+    source_mask: Array,  # (B, N)
+    source_intensity: Array,  # (B, N)
+    target_points: Array,  # (B, N, 3)
+    target_mask: Array,  # (B, N)
+    target_normals: Array,  # (B, N, 3)
+    target_intensity_map: Array,  # (B, H+2, W+2)
+    intrinsics: CameraIntrinsics,
+):
+    """Transform-independent packing for the v3 engine.
+
+    The analog of the reference's untimed constructor work: ``ImageIcp::new``
+    captures the target and ``RangeImage`` preprocessing builds the per-frame
+    structures before ``align`` is ever called (benches/bench_image_icp.rs
+    times ONLY ``icp.align``). Everything returned here depends only on the
+    frames — never on the iterate — so callers aligning repeatedly (or
+    benchmarking align itself) pack once.
+
+    Returns ``(sp, tp, centroids, h, w)`` for
+    :func:`align_impl_pallas_v3_batched_packed`.
+    """
+    from align3d_tpu.ops import icp_pallas_v3 as k3
 
     bsz = source_points.shape[0]
     h2, w2 = target_intensity_map.shape[1], target_intensity_map.shape[2]
@@ -556,6 +599,31 @@ def align_impl_pallas_v3_batched(
         target_mask.reshape(bsz, h, w),
         target_intensity_map,
     )
+    centroids = k3.source_centroids_batched(sp, intrinsics)
+    return sp, tp, centroids, h, w
+
+
+def align_impl_pallas_v3_batched_packed(
+    initial_rotation: Array,  # (B, 3, 3)
+    initial_translation: Array,  # (B, 3)
+    sp: Array,
+    tp: Array,
+    centroids,
+    intrinsics: CameraIntrinsics,
+    h: int,
+    w: int,
+    params: IcpParams,
+    interpret: bool | None = None,
+) -> tuple[Array, Array, Array]:
+    """GN loop of the batched v3 align on prepacked inputs (the timed-region
+    equivalent of the reference's ``icp.align``)."""
+    from align3d_tpu.ops import icp_pallas_v3 as k3
+
+    if params.huber_delta is not None:
+        raise NotImplementedError("huber_delta is not supported by the pallas engine")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
     hp = sp.shape[1] * k3.CHUNK
     pt = (
         params.max_distance,
@@ -563,7 +631,6 @@ def align_impl_pallas_v3_batched(
         params.max_color_distance,
         params.band_radius,
     )
-    centroids = k3.source_centroids_batched(sp, intrinsics)
 
     def body(_, carry):
         rot, trans, best_res, best_rot, best_trans = carry
@@ -594,6 +661,7 @@ def align_impl_pallas_v3_batched(
             best_trans,
         )
 
+    bsz = initial_rotation.shape[0]
     init = (
         initial_rotation,
         initial_translation,

@@ -455,19 +455,28 @@ def _icp_kernel_v3(
             lane_idx = jnp.clip(rel, 0, 127)
             grp_ok = (rel >= 0) & (rel < 128)
             idx3 = jnp.broadcast_to(lane_idx[None], (NCH, CHUNK, 128))
-            for dy in range(-dy_radius, dy_radius + 1):
-                rb0 = jnp.clip(
-                    i * CHUNK + dyb_j + dy - cb, 0, band_rows - CHUNK
-                )
-                cand = band[
-                    pl.ds(slot, 1), pl.ds(g2, 1), :, pl.ds(rb0, CHUNK), :
-                ].reshape(NCH, CHUNK, 128)
+            # One dynamic-offset slab per (group, window); the (2R+1) dy
+            # candidates become STATIC sub-slices of it — a single sublane
+            # realignment instead of one per candidate. At band edges the
+            # slab covers a superset of the per-candidate clipped blocks
+            # (row_ok keeps matches exact either way).
+            slab_rows = CHUNK + 2 * dy_radius
+            rb0s = jnp.clip(
+                i * CHUNK + dyb_j - dy_radius - cb,
+                0,
+                band_rows - slab_rows,
+            )
+            slab = band[
+                pl.ds(slot, 1), pl.ds(g2, 1), :, pl.ds(rb0s, slab_rows), :
+            ].reshape(NCH, slab_rows, 128)
+            for d in range(2 * dy_radius + 1):
+                cand = slab[:, d : d + CHUNK, :]
                 got = jnp.take_along_axis(
                     cand.reshape(NCH * CHUNK, 128),
                     idx3.reshape(NCH * CHUNK, 128),
                     axis=1,
                 ).reshape(NCH, CHUNK, 128)
-                row_ok = vi_j == (cb + rb0 + s_vec)
+                row_ok = vi_j == (cb + rb0s + d + s_vec)
                 m = row_ok & grp_ok
                 acc = jnp.where(m[None], got, acc)
         gath[:, j * CHUNK : (j + 1) * CHUNK, :] = acc
@@ -586,6 +595,10 @@ def _icp_kernel_v3(
         nx_, ny_, nz_, jg3, jg4, jg5, r_geom, ones,
         gx, gy, gz, jc3, jc4, jc5, r_color, ones,
     )
+    # One (16, N) @ (N, 16) contraction. Alternatives measured and rejected:
+    # multi-dim contraction over (K, 128) (Mosaic: unimplemented) and a
+    # lane-only contraction with K batched (84.6 us/pair-iter vs 69.7 — 80
+    # tiny matmuls lose to one big one even though the reshape relayouts).
     a = jnp.stack(chans, axis=0).reshape(16, k * 128)
     aw = jnp.stack(
         tuple(c * w_geom for c in chans[:8])
@@ -612,15 +625,21 @@ def _icp_kernel_v3(
     dy_val = (v_int - row_f) * pw
     dx_val = (u_int - col_f) * pw
 
-    # One aligned (8, 128) partial per (stat, group): a single halving add;
-    # further folding to one row costs sublane relayouts (measured +24 us/
-    # pair/iter), so the host glue finishes the reduction.
-    half = CHUNK // 2
+    # One aligned (8, 128) partial per (stat, group): halving adds down to 8
+    # rows; further folding to one row costs sublane relayouts (measured
+    # +24 us/pair/iter), so the host glue finishes the reduction.
+    def fold8(val):
+        rows = CHUNK
+        while rows > 8:
+            rows //= 2
+            val = val[:rows] + val[rows:]
+        return val
+
     for j in range(g):
         sl = slice(j * CHUNK, (j + 1) * CHUNK)
-        stats_ref[0, 0, 0, j] = dy_val[sl][:half] + dy_val[sl][half:]
-        stats_ref[0, 0, 1, j] = dx_val[sl][:half] + dx_val[sl][half:]
-        stats_ref[0, 0, 2, j] = pw[sl][:half] + pw[sl][half:]
+        stats_ref[0, 0, 0, j] = fold8(dy_val[sl])
+        stats_ref[0, 0, 1, j] = fold8(dx_val[sl])
+        stats_ref[0, 0, 2, j] = fold8(pw[sl])
 
 
 @functools.partial(
