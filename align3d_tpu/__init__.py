@@ -26,6 +26,7 @@ from align3d_tpu.metrics import TransformMetrics
 from align3d_tpu.icp.params import IcpParams, MsIcpParams
 from align3d_tpu.icp.image_icp import ImageIcp
 from align3d_tpu.icp.multiscale import MultiscaleAlign
+from align3d_tpu.extra_math import angle_between_normals
 
 __version__ = "0.1.0"
 
@@ -43,4 +44,5 @@ __all__ = [
     "MsIcpParams",
     "ImageIcp",
     "MultiscaleAlign",
+    "angle_between_normals",
 ]

@@ -126,3 +126,20 @@ def test_stack():
     batch = se3.stack(ts)
     assert batch.batch_shape == (3,)
     np.testing.assert_allclose(batch[1].translation, ts[1].translation)
+
+
+def test_angle_between_normals():
+    """Reference src/extra_math.rs:13 semantics: |acos(dot)|, no clamping."""
+    import numpy as np
+
+    from align3d_tpu.extra_math import angle_between_normals
+
+    a = jnp.asarray([1.0, 0.0, 0.0])
+    b = jnp.asarray([0.0, 1.0, 0.0])
+    assert abs(float(angle_between_normals(a, b)) - np.pi / 2) < 1e-6
+    assert float(angle_between_normals(a, a)) < 1e-3
+    # Batched.
+    batch = angle_between_normals(
+        jnp.stack([a, a]), jnp.stack([b, -a])
+    )
+    np.testing.assert_allclose(np.asarray(batch), [np.pi / 2, np.pi], atol=1e-3)
