@@ -726,13 +726,14 @@ class ImageIcp:
         self.params = params
         self.target = target
         self.initial_transform = Transform.identity()
+        self.last_residual: float | None = None  # best mean-squared residual
 
     def align(self, source: RangeImage) -> Transform:
         if source.intensities is None:
             raise ValueError("the source image should have intensity colors")
         t = self.target
         n = t.height * t.width
-        best_rot, best_trans, _ = _align_jit(
+        best_rot, best_trans, best_res = _align_jit(
             self.initial_transform.rotation,
             self.initial_transform.translation,
             source.points.reshape(-1, 3),
@@ -745,6 +746,7 @@ class ImageIcp:
             t.intrinsics,
             self.params,
         )
+        self.last_residual = float(best_res)
         return Transform(best_rot, best_trans)
 
 

@@ -21,6 +21,7 @@ class MultiscaleAlign:
             )
         self.params = params
         self.target_pyramid = target_pyramid
+        self.last_residual: float | None = None  # finest level's best residual
 
     def align(
         self,
@@ -38,4 +39,5 @@ class MultiscaleAlign:
             icp = ImageIcp(params, target)
             icp.initial_transform = optim_transform
             optim_transform = icp.align(source)
+            self.last_residual = icp.last_residual
         return optim_transform

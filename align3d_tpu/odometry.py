@@ -31,6 +31,7 @@ class OdometryResult:
     trajectory: Trajectory
     metrics: Optional[TransformMetrics]  # vs dataset GT, if available
     seconds_per_frame: float
+    residuals: Optional[list] = None  # per-frame best mean-squared residual
 
 
 def run_odometry(
@@ -51,11 +52,13 @@ def run_odometry(
     traj_builder = TrajectoryBuilder.with_start(Transform.identity(), 0.0)
     last_pyramid = range_builder.build(dataset.get(0))
 
+    residuals: list = []
     start = time.perf_counter()
     for i in range(1, n):
         current = range_builder.build(dataset.get(i))
         align = MultiscaleAlign(icp_params, last_pyramid)
         transform = align.align(current)
+        residuals.append(align.last_residual)
         traj_builder.accumulate(transform, float(i))
         last_pyramid = current
         if progress is not None:
@@ -72,6 +75,7 @@ def run_odometry(
         trajectory=pred,
         metrics=metrics,
         seconds_per_frame=elapsed / max(n - 1, 1),
+        residuals=residuals,
     )
 
 

@@ -195,6 +195,34 @@ class BilateralGrid:
         data = _splat(image, color_min, (gh, gw, gd), sigma_space, sigma_color)
         return cls(data, sigma_space, sigma_color, color_min)
 
+    @classmethod
+    def from_image_static(
+        cls,
+        image: Array,
+        color_min: Array,
+        grid_depth: int,
+        sigma_space: float,
+        sigma_color: float,
+    ) -> "BilateralGrid":
+        """Jit-safe grid build with a CALLER-FIXED depth-axis size.
+
+        The reference sizes the range axis from the image's min/max depth
+        (grid.rs:51-54) — a data-dependent shape, which :meth:`from_image`
+        reproduces with a host sync. Under ``jit`` shapes must be static
+        (SURVEY §7 hard part 2), so here the caller supplies ``grid_depth``
+        (≥ (max−min)/σc + 1 + 2·pad for exact parity; values above the true
+        range only waste memory, never change the result) and a traced
+        ``color_min``.
+        """
+        image = jnp.asarray(image)
+        h, w = image.shape
+        gh = int((h - 1) / sigma_space) + 1 + 2 * _SPACE_PAD
+        gw = int((w - 1) / sigma_space) + 1 + 2 * _COLOR_PAD
+        data = _splat(
+            image, color_min, (gh, gw, int(grid_depth)), sigma_space, sigma_color
+        )
+        return cls(data, sigma_space, sigma_color, color_min)
+
     @property
     def dim(self) -> tuple[int, int, int, int]:
         return tuple(self.data.shape)
@@ -227,6 +255,14 @@ class BilateralFilter:
     def filter(self, image: Array) -> Array:
         grid = BilateralGrid.from_image(
             image, self.sigma_space, self.sigma_color, self.pad_depth_to
+        )
+        return grid.convolve().normalize().slice(image)
+
+    def filter_static(self, image: Array, color_min: Array, grid_depth: int) -> Array:
+        """Jit-safe :meth:`filter` with caller-fixed grid depth (see
+        :meth:`BilateralGrid.from_image_static`)."""
+        grid = BilateralGrid.from_image_static(
+            image, color_min, grid_depth, self.sigma_space, self.sigma_color
         )
         return grid.convolve().normalize().slice(image)
 

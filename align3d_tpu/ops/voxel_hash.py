@@ -66,9 +66,12 @@ class VoxelHashGrid:
         )
 
 
-@partial(jax.jit, static_argnames=("max_per_cell",))
+@partial(jax.jit, static_argnames=("max_per_cell", "query_chunk"))
 def nearest(
-    grid: VoxelHashGrid, queries: Array, max_per_cell: int = 16
+    grid: VoxelHashGrid,
+    queries: Array,
+    max_per_cell: int = 16,
+    query_chunk: int = 8192,
 ) -> tuple[Array, Array]:
     """Nearest DB point for each query: returns (indices (Q,), sq_distances (Q,)).
 
@@ -76,40 +79,63 @@ def nearest(
     ``max_per_cell`` candidates (cells are contiguous runs in the sorted
     order). Queries with no candidate in range get index 0 and +inf distance
     — callers gate by distance like the ICP does.
+
+    Memory layout notes (TPU): candidate coordinates are gathered per-axis
+    from (M,) planes — a (Q, 27, K, 3) gather would pad its trailing dim to
+    128 lanes (a 42x HBM blowup: 44 GB at Q = 100k). Queries process in
+    ``query_chunk`` blocks under ``lax.map`` so peak memory is
+    O(chunk * 27 * K), independent of Q.
     """
     queries = queries.astype(jnp.float32)
+    q = queries.shape[0]
     m = grid.sorted_points.shape[0]
-    q_cells = jnp.floor(queries / grid.cell_size).astype(jnp.int32)  # (Q, 3)
+    px = grid.sorted_points[:, 0]
+    py = grid.sorted_points[:, 1]
+    pz = grid.sorted_points[:, 2]
 
     offsets = jnp.stack(
         jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
     ).reshape(27, 3)
 
-    neighbor_cells = q_cells[:, None, :] + offsets[None, :, :]  # (Q, 27, 3)
-    neighbor_hash = _cell_hash(neighbor_cells)  # (Q, 27)
+    def chunk_fn(q_blk: Array) -> tuple[Array, Array]:  # (C, 3)
+        c = q_blk.shape[0]
+        q_cells = jnp.floor(q_blk / grid.cell_size).astype(jnp.int32)  # (C, 3)
+        neighbor_cells = q_cells[:, None, :] + offsets[None, :, :]  # (C, 27, 3)
+        neighbor_hash = _cell_hash(neighbor_cells)  # (C, 27)
 
-    starts = jnp.searchsorted(grid.sorted_hash, neighbor_hash.reshape(-1)).reshape(
-        neighbor_hash.shape
-    )  # (Q, 27)
+        starts = jnp.searchsorted(
+            grid.sorted_hash, neighbor_hash.reshape(-1)
+        ).reshape(neighbor_hash.shape)  # (C, 27)
 
-    lanes = jnp.arange(max_per_cell, dtype=jnp.int32)
-    cand = starts[..., None] + lanes  # (Q, 27, K)
-    cand_clipped = jnp.minimum(cand, m - 1)
-    cand_hash = jnp.take(grid.sorted_hash, cand_clipped)
-    cand_valid = (cand < m) & (cand_hash == neighbor_hash[..., None])
+        lanes = jnp.arange(max_per_cell, dtype=jnp.int32)
+        cand = starts[..., None] + lanes  # (C, 27, K)
+        cand_clipped = jnp.minimum(cand, m - 1).reshape(c, -1)  # (C, 27K)
+        cand_hash = jnp.take(grid.sorted_hash, cand_clipped)
+        cand_valid = (cand.reshape(c, -1) < m) & (
+            cand_hash == jnp.repeat(neighbor_hash, max_per_cell, axis=1)
+        )
 
-    cand_pts = jnp.take(grid.sorted_points, cand_clipped, axis=0)  # (Q, 27, K, 3)
-    d = cand_pts - queries[:, None, None, :]
-    sq = jnp.sum(d * d, axis=-1)
-    sq = jnp.where(cand_valid, sq, jnp.inf)
+        dx = jnp.take(px, cand_clipped) - q_blk[:, 0:1]
+        dy = jnp.take(py, cand_clipped) - q_blk[:, 1:2]
+        dz = jnp.take(pz, cand_clipped) - q_blk[:, 2:3]
+        sq = dx * dx + dy * dy + dz * dz
+        sq = jnp.where(cand_valid, sq, jnp.inf)
 
-    sq_flat = sq.reshape(sq.shape[0], -1)
-    cand_flat = cand_clipped.reshape(sq.shape[0], -1)
-    best = jnp.argmin(sq_flat, axis=-1)
-    best_sq = jnp.take_along_axis(sq_flat, best[:, None], axis=-1)[:, 0]
-    best_sorted_idx = jnp.take_along_axis(cand_flat, best[:, None], axis=-1)[:, 0]
-    best_idx = jnp.take(grid.sorted_indices, best_sorted_idx)
-    return best_idx, best_sq
+        best = jnp.argmin(sq, axis=-1)
+        best_sq = jnp.take_along_axis(sq, best[:, None], axis=-1)[:, 0]
+        best_sorted_idx = jnp.take_along_axis(cand_clipped, best[:, None], axis=-1)[
+            :, 0
+        ]
+        return jnp.take(grid.sorted_indices, best_sorted_idx), best_sq
+
+    if q <= query_chunk:
+        return chunk_fn(queries)
+
+    pad = (-q) % query_chunk
+    q_padded = jnp.concatenate([queries, jnp.zeros((pad, 3), jnp.float32)])
+    blocks = q_padded.reshape(-1, query_chunk, 3)
+    idx_b, sq_b = jax.lax.map(chunk_fn, blocks)
+    return idx_b.reshape(-1)[:q], sq_b.reshape(-1)[:q]
 
 
 def nearest_brute_force(db: Array, queries: Array) -> tuple[Array, Array]:

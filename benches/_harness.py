@@ -36,7 +36,9 @@ def marginal_ms(step_fn, init_carry, lo: int = 2, hi: int = 22, calls: int = 4) 
     @functools.partial(jax.jit, static_argnames=("reps",))
     def run(carry, reps):
         out = jax.lax.fori_loop(0, reps, step_fn, carry)
-        return jnp.sum(jax.flatten_util.ravel_pytree(out)[0][:16])
+        # Pull one scalar per leaf to force completion without moving data.
+        return sum(jnp.sum(leaf.ravel()[:1].astype(jnp.float32))
+                   for leaf in jax.tree.leaves(out))
 
     def best(reps):
         _ = float(run(init_carry, reps))  # compile + warm

@@ -16,14 +16,17 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     h, w = 480, 640
-    depth = jnp.asarray(
-        (2000 + rng.integers(0, 500, (h, w))).astype(np.uint16)
-    )
+    depth_np = (2000 + rng.integers(0, 500, (h, w))).astype(np.uint16)
+    depth = jnp.asarray(depth_np)
     filt = BilateralFilter()
+    # Static grid depth for the jit-chained loop (the grid's range axis is
+    # data-dependent in the reference; see BilateralGrid.from_image_static).
+    gd = int((int(depth_np.max()) - int(depth_np.min())) / filt.sigma_color) + 1 + 4
+    color_min = jnp.asarray(depth_np.min(), depth.dtype)
 
     def step(_, carry):
         d, acc = carry
-        out = filt.filter(d)
+        out = filt.filter_static(d, color_min, gd)
         return (d, acc + jnp.sum(out.astype(jnp.float32)))
 
     ms = marginal_ms(step, (depth, jnp.float32(0)), lo=2, hi=22)

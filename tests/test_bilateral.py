@@ -127,3 +127,22 @@ def test_scale_down():
     img = jnp.full((64, 64), 1500, jnp.uint16)
     half = BilateralFilter().scale_down(img)
     assert half.shape == (32, 32)
+
+
+def test_filter_static_matches_dynamic(bloei_luma16):
+    """from_image_static with the true bounds == the host-synced path, and
+    it runs under jit (static shapes)."""
+    import jax
+
+    from align3d_tpu.ops.bilateral import BilateralFilter
+
+    img = jnp.asarray(bloei_luma16[:96, :128])
+    filt = BilateralFilter(pad_depth_to=1)
+    ref = filt.filter(img)
+    gd = (
+        int((int(jnp.max(img)) - int(jnp.min(img))) / filt.sigma_color) + 1 + 4
+    )
+    got = jax.jit(
+        lambda im, cm: filt.filter_static(im, cm, gd)
+    )(img, jnp.min(img))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
