@@ -27,9 +27,13 @@ def main() -> int:
     def step(_, carry):
         d, acc = carry
         out = filt.filter_static(d, color_min, gd)
-        return (d, acc + jnp.sum(out.astype(jnp.float32)))
+        s = jnp.sum(out.astype(jnp.float32))
+        # Chain the carry through the input so XLA cannot hoist the filter
+        # out of the rep loop as loop-invariant.
+        d_next = d + (s * 0.0).astype(d.dtype)
+        return (d_next, acc + s)
 
-    ms = marginal_ms(step, (depth, jnp.float32(0)), lo=2, hi=22)
+    ms = marginal_ms(step, (depth, jnp.float32(0)), lo=10, hi=510)
     log(f"bilateral filter 640x480: {ms:.4f} ms")
     emit("bilateral_filter_640x480_ms", ms, "ms", None)
     return 0

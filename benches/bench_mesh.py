@@ -38,7 +38,7 @@ def main() -> int:
         vn = compute_vertex_normals(p, faces_j)
         return (p + 1e-12 * vn[0, 0], acc + jnp.sum(vn[0]))
 
-    ms = marginal_ms(step, (pts_j, jnp.float32(0)), lo=2, hi=22)
+    ms = marginal_ms(step, (pts_j, jnp.float32(0)), lo=10, hi=210)
     log(f"mesh compute_normals {faces.shape[0]} faces: {ms:.3f} ms")
     emit("mesh_normals_200k_faces_ms", ms, "ms", None)
     return 0

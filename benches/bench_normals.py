@@ -26,7 +26,7 @@ def main() -> int:
         n = compute_normals(p, mask)
         return (p + 1e-12 * n[0, 0, 0], acc + jnp.sum(n[0, 0]))
 
-    ms = marginal_ms(step, (pts, jnp.float32(0)), lo=2, hi=42)
+    ms = marginal_ms(step, (pts, jnp.float32(0)), lo=10, hi=510)
     log(f"compute_normals 640x480: {ms:.4f} ms")
     emit("compute_normals_640x480_ms", ms, "ms", BASELINE_MS)
     return 0

@@ -19,13 +19,15 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     n = 100_000
-    # Noisy plane-ish surface with normals.
+    # Curved surface with analytic normals — a constant-normal plane leaves
+    # the point-to-plane 6x6 system rank-deficient (singular solve -> NaN).
     pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
-    pts[:, 2] = 0.2 * pts[:, 0] + 0.1 * pts[:, 1] + rng.normal(0, 0.005, n)
-    normals = np.tile(
-        np.asarray([-0.2, -0.1, 1.0], np.float32) / np.linalg.norm([-0.2, -0.1, 1.0]),
-        (n, 1),
-    )
+    pts[:, 2] = 0.3 * np.sin(2.0 * pts[:, 0]) * np.cos(2.0 * pts[:, 1])
+    dzdx = 0.6 * np.cos(2.0 * pts[:, 0]) * np.cos(2.0 * pts[:, 1])
+    dzdy = -0.6 * np.sin(2.0 * pts[:, 0]) * np.sin(2.0 * pts[:, 1])
+    normals = np.stack([-dzdx, -dzdy, np.ones(n, np.float32)], axis=1)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = normals.astype(np.float32)
     target = PointCloud(
         jnp.asarray(pts), jnp.ones(n, bool), normals=jnp.asarray(normals)
     )
