@@ -29,18 +29,19 @@ from align3d_tpu.se3 import Transform
 Array = jax.Array
 
 
-@partial(jax.jit, static_argnames=("params", "max_per_cell"))
+@partial(jax.jit, static_argnames=("params", "max_per_cell", "nn_engine"))
 def _align_jit(
     initial_rotation: Array,
     initial_translation: Array,
     source_points: Array,  # (N, 3)
     source_normals: Array,  # (N, 3)
     source_mask: Array,  # (N,) bool
-    grid: voxel_hash.VoxelHashGrid,
+    grid,  # VoxelHashGrid or nn_banded.SortedGrid (matches nn_engine)
     target_points: Array,  # (M, 3)
     target_normals: Array,  # (M, 3)
     params: IcpParams,
     max_per_cell: int,
+    nn_engine: str = "hash",
 ) -> tuple[Array, Array, Array]:
     max_distance_sqr = jnp.float32(params.max_distance * params.max_distance)
 
@@ -50,7 +51,12 @@ def _align_jit(
         p = transform.apply(source_points)
         n = transform.apply_normals(source_normals)
 
-        idx, sq_dist = voxel_hash.nearest(grid, p, max_per_cell=max_per_cell)
+        if nn_engine == "banded":
+            from align3d_tpu.ops.nn_banded import nearest_banded
+
+            idx, sq_dist = nearest_banded(grid, p)
+        else:
+            idx, sq_dist = voxel_hash.nearest(grid, p, max_per_cell=max_per_cell)
         tp = jnp.take(target_points, idx, axis=0)
         tn = jnp.take(target_normals, idx, axis=0)
 
@@ -106,6 +112,7 @@ class Icp:
         target_normals: Array,
         cell_size: float | None = None,
         max_per_cell: int = 32,
+        nn_engine: str | None = None,
     ):
         if target_normals is None:
             raise ValueError("the target point cloud should have normals")
@@ -117,7 +124,19 @@ class Icp:
             cell_size if cell_size is not None else params.max_distance / 10.0
         )
         self.max_per_cell = max_per_cell
-        self.grid = voxel_hash.VoxelHashGrid.build(self.target_points, self.cell_size)
+        if nn_engine is None:
+            # The banded Pallas kernel is the TPU path; the XLA hash grid
+            # stays the (fast-to-interpret) CPU path.
+            nn_engine = "banded" if jax.default_backend() == "tpu" else "hash"
+        self.nn_engine = nn_engine
+        if nn_engine == "banded":
+            from align3d_tpu.ops.nn_banded import SortedGrid
+
+            self.grid = SortedGrid.build(self.target_points, self.cell_size)
+        else:
+            self.grid = voxel_hash.VoxelHashGrid.build(
+                self.target_points, self.cell_size
+            )
 
     def align(
         self,
@@ -139,5 +158,6 @@ class Icp:
             self.target_normals,
             self.params,
             self.max_per_cell,
+            self.nn_engine,
         )
         return Transform(best_rot, best_trans)

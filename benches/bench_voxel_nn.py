@@ -16,20 +16,23 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from align3d_tpu.ops import voxel_hash
+    from align3d_tpu.ops.nn_banded import SortedGrid, nearest_banded
 
     rng = np.random.default_rng(0)
     db = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
     queries = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
-    grid = voxel_hash.VoxelHashGrid.build(db, cell_size=0.02)
+    # Grid build outside the timed loop — the reference's "R3dTree search"
+    # bench builds the tree outside b.iter too (benches/bench_kdtree.rs).
+    grid = SortedGrid.build(db, cell_size=0.02)
 
     def step(_, carry):
         q, acc = carry
-        idx, sq = voxel_hash.nearest(grid, q, max_per_cell=8)
-        return (q + 1e-12 * sq[0], acc + jnp.sum(sq[:128]))
+        idx, sq = nearest_banded(grid, q, band_width=512)
+        s = jnp.sum(jnp.where(jnp.isfinite(sq[:128]), sq[:128], 0.0))
+        return (q + (s * 0.0), acc + s)
 
     ms = marginal_ms(step, (queries, jnp.float32(0)), lo=2, hi=12)
-    log(f"voxel-hash NN 500k x 500k: {ms:.3f} ms")
+    log(f"banded sorted-grid NN 500k x 500k: {ms:.3f} ms")
     emit("nn_500k_x_500k_ms", ms, "ms", BASELINE_MS)
     return 0
 
