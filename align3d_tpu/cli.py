@@ -43,7 +43,9 @@ def cmd_odometry(args) -> int:
         bilateral_filter=None if args.no_bilateral else BilateralFilter()
     )
     params = (
-        MsIcpParams.default_tpu() if args.engine == "pallas" else MsIcpParams.default()
+        MsIcpParams.default()
+        if args.engine == "xla"
+        else MsIcpParams.default_tpu(args.engine)
     )
     result = run_odometry(
         dataset,
@@ -91,10 +93,11 @@ def main(argv=None) -> int:
     p_odo.add_argument("--no-bilateral", action="store_true")
     p_odo.add_argument(
         "--engine",
-        choices=("xla", "pallas"),
+        choices=("xla", "pallas", "pallas_v4"),
         default="xla",
-        help="ICP engine: exact XLA gathers, or the fused banded Pallas "
-        "kernel on the fine pyramid levels (TPU)",
+        help="ICP engine: exact XLA gathers, or a fused banded Pallas "
+        "kernel on the fine pyramid levels (TPU): v3 (f32 pack) or v4 "
+        "(slim int pack + bf16 reduction, fastest)",
     )
     p_odo.add_argument(
         "--loop-closure",

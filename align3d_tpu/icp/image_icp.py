@@ -673,10 +673,186 @@ def align_impl_pallas_v3_batched_packed(
     return out[3], out[4], out[2]
 
 
+def prepack_v4_batched(
+    source_points: Array,  # (B, N, 3)
+    source_mask: Array,  # (B, N)
+    source_intensity: Array,  # (B, N)
+    target_points: Array,  # (B, N, 3)
+    target_mask: Array,  # (B, N)
+    target_normals: Array,  # (B, N, 3)
+    target_intensity_map: Array,  # (B, H+2, W+2)
+    intrinsics: CameraIntrinsics,
+):
+    """Transform-independent packing for the v4 engine (see
+    :func:`prepack_v3_batched`; v4 shares v3's source pack + centroids and
+    swaps in the slim 5-channel int target pack)."""
+    from align3d_tpu.ops import icp_pallas_v3 as k3
+    from align3d_tpu.ops import icp_pallas_v4 as k4
+
+    bsz = source_points.shape[0]
+    h2, w2 = target_intensity_map.shape[1], target_intensity_map.shape[2]
+    h, w = h2 - 2, w2 - 2
+    sp = jax.vmap(k3.pack_source)(
+        source_points.reshape(bsz, h, w, 3),
+        source_mask.reshape(bsz, h, w),
+        source_intensity.reshape(bsz, h, w),
+    )
+    tp = jax.vmap(k4.pack_target)(
+        target_points.reshape(bsz, h, w, 3),
+        target_normals.reshape(bsz, h, w, 3),
+        target_mask.reshape(bsz, h, w),
+        target_intensity_map,
+    )
+    centroids = k3.source_centroids_batched(sp, intrinsics)
+    return sp, tp, centroids, h, w
+
+
+def align_impl_pallas_v4_batched_packed(
+    initial_rotation: Array,  # (B, 3, 3)
+    initial_translation: Array,  # (B, 3)
+    sp: Array,
+    tp: Array,
+    centroids,
+    intrinsics: CameraIntrinsics,
+    h: int,
+    w: int,
+    params: IcpParams,
+    interpret: bool | None = None,
+) -> tuple[Array, Array, Array]:
+    """GN loop of the batched v4 align on prepacked inputs — identical loop
+    to the v3 packed align with the slim int-packed kernel step."""
+    from align3d_tpu.ops import icp_pallas_v3 as k3
+    from align3d_tpu.ops import icp_pallas_v4 as k4
+
+    if params.huber_delta is not None:
+        raise NotImplementedError("huber_delta is not supported by the pallas engine")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    hp = sp.shape[1] * k3.CHUNK
+    pt = (
+        params.max_distance,
+        params.max_normal_angle,
+        params.max_color_distance,
+        params.band_radius,
+    )
+
+    def body(_, carry):
+        rot, trans, best_res, best_rot, best_trans = carry
+        cb, dyb, dxb = k3.predict_bases_centroid_batched(
+            rot, trans, centroids, intrinsics, hp
+        )
+        geo_aug, col_aug = k4.icp_step_pallas_batched(
+            rot, trans, cb, dyb, dxb, sp, tp, intrinsics, h, w, pt, interpret
+        )
+        geom, color = _gn_from_aug16(geo_aug, col_aug)
+        merged = geom.add_weighted(
+            color, jnp.float32(params.weight), jnp.float32(params.color_weight)
+        )
+        residual = merged.mean_squared_residual()  # (B,)
+        update = merged.solve()  # (B, 6)
+        new_transform = Transform.exp(update) @ Transform(rot, trans)
+
+        better = residual < best_res
+        best_res = jnp.where(better, residual, best_res)
+        best_rot = jnp.where(better[:, None, None], new_transform.rotation, best_rot)
+        best_trans = jnp.where(better[:, None], new_transform.translation, best_trans)
+        return (
+            new_transform.rotation,
+            new_transform.translation,
+            best_res,
+            best_rot,
+            best_trans,
+        )
+
+    bsz = initial_rotation.shape[0]
+    init = (
+        initial_rotation,
+        initial_translation,
+        jnp.full((bsz,), jnp.inf, jnp.float32),
+        initial_rotation,
+        initial_translation,
+    )
+    out = jax.lax.fori_loop(0, params.max_iterations, body, init)
+    return out[3], out[4], out[2]
+
+
+def align_impl_pallas_v4_batched(
+    initial_rotation: Array,
+    initial_translation: Array,
+    source_points: Array,
+    source_mask: Array,
+    source_intensity: Array,
+    target_points: Array,
+    target_mask: Array,
+    target_normals: Array,
+    target_intensity_map: Array,
+    intrinsics: CameraIntrinsics,
+    params: IcpParams,
+    interpret: bool | None = None,
+) -> tuple[Array, Array, Array]:
+    """Batched v4 align: prepack + GN loop (see :func:`prepack_v4_batched`)."""
+    sp, tp, centroids, h, w = prepack_v4_batched(
+        source_points,
+        source_mask,
+        source_intensity,
+        target_points,
+        target_mask,
+        target_normals,
+        target_intensity_map,
+        intrinsics,
+    )
+    return align_impl_pallas_v4_batched_packed(
+        initial_rotation,
+        initial_translation,
+        sp,
+        tp,
+        centroids,
+        intrinsics,
+        h,
+        w,
+        params,
+        interpret,
+    )
+
+
+def align_impl_pallas_v4(
+    initial_rotation: Array,
+    initial_translation: Array,
+    source_points: Array,
+    source_mask: Array,
+    source_intensity: Array,
+    target_points: Array,
+    target_mask: Array,
+    target_normals: Array,
+    target_intensity_map: Array,
+    intrinsics: CameraIntrinsics,
+    params: IcpParams,
+    interpret: bool | None = None,
+) -> tuple[Array, Array, Array]:
+    """Single-pair v4 align (batch-of-one over the batched path)."""
+    r, t, res = align_impl_pallas_v4_batched(
+        initial_rotation[None],
+        initial_translation[None],
+        source_points[None],
+        source_mask[None],
+        source_intensity[None],
+        target_points[None],
+        target_mask[None],
+        target_normals[None],
+        target_intensity_map[None],
+        intrinsics,
+        params,
+        interpret,
+    )
+    return r[0], t[0], res[0]
+
+
 _ENGINES = {
     "xla": align_impl,
     "pallas": align_impl_pallas_v3,
     "pallas_v2": align_impl_pallas,
+    "pallas_v4": align_impl_pallas_v4,
 }
 
 

@@ -76,12 +76,14 @@ class MsIcpParams:
         )
 
     @classmethod
-    def default_tpu(cls) -> "MsIcpParams":
-        """The reference defaults with the fused Pallas engine on the two
+    def default_tpu(cls, engine: str = "pallas") -> "MsIcpParams":
+        """The reference defaults with a fused Pallas engine on the two
         finest levels (where the pixel counts dominate the cost and coarse
-        alignment has already bounded the displacement for the band)."""
+        alignment has already bounded the displacement for the band).
+        ``engine`` picks the kernel: "pallas" (v3, f32 target pack) or
+        "pallas_v4" (slim int pack + bf16 reduction, fastest)."""
         return cls.default().customize(
-            lambda i, p: p.replace(engine="pallas") if i < 2 else p
+            lambda i, p: p.replace(engine=engine) if i < 2 else p
         )
 
     def __len__(self) -> int:

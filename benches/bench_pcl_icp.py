@@ -34,7 +34,8 @@ def main() -> int:
     delta = Transform.exp(jnp.asarray([0.01, -0.005, 0.008, 0.004, -0.006, 0.01]))
     source = target.transformed(delta)
 
-    icp = Icp(IcpParams(max_iterations=10), target.points, target.normals)
+    params = IcpParams(max_iterations=10)
+    icp = Icp(params, target.points, target.normals)
     import time
 
     t0 = time.perf_counter()
@@ -42,13 +43,31 @@ def main() -> int:
     log(f"first align (compile): {time.perf_counter() - t0:.1f}s; "
         f"angle err {float((result.inverse() @ delta.inverse()).angle()):.5f}")
 
-    t0 = time.perf_counter()
-    calls = 5
-    for _ in range(calls):
-        result = icp.align(source.points, source.normals)
-        _ = float(result.translation[0])
-    ms = (time.perf_counter() - t0) / calls * 1000.0
-    log(f"pcl icp align 100k, 10 iters: {ms:.2f} ms/align (incl ~31ms RPC)")
+    # Slope methodology (see _harness): chain aligns inside one jitted loop
+    # so the tunnel's ~31 ms dispatch RPC cancels out of the marginal time.
+    from align3d_tpu.icp.pcl_icp import _align_jit
+
+    src_mask = jnp.ones(n, bool)
+
+    def step(_, carry):
+        rot, trans, acc = carry
+        br, bt, bres = _align_jit(
+            rot,
+            trans + 1e-12 * acc,
+            source.points,
+            source.normals,
+            src_mask,
+            icp.grid,
+            icp.target_points,
+            icp.target_normals,
+            params,
+            icp.max_per_cell,
+            icp.nn_engine,
+        )
+        return (rot, trans, acc + bres + jnp.sum(bt))
+
+    ms = marginal_ms(step, (jnp.eye(3), jnp.zeros(3), jnp.float32(0)), lo=1, hi=6)
+    log(f"pcl icp align 100k, 10 iters: {ms:.2f} ms/align (slope, RPC excluded)")
     emit("pcl_icp_100k_10iter_ms", ms, "ms", None)
     return 0
 
