@@ -100,10 +100,15 @@ def multiscale_align_batched(
     ):
         sp, sm, si, _, _ = _flatten_level(source)
         tp, tm, _, tn, tim = _flatten_level(target)
-        if level_params.engine == "pallas":
-            from align3d_tpu.icp.image_icp import align_impl_pallas_batched
+        if level_params.engine in ("pallas", "pallas_v2", "pallas_v4"):
+            from align3d_tpu.icp import image_icp as ii
 
-            rot, trans, _ = align_impl_pallas_batched(
+            batched = {
+                "pallas": ii.align_impl_pallas_v3_batched,
+                "pallas_v2": ii.align_impl_pallas_batched,
+                "pallas_v4": ii.align_impl_pallas_v4_batched,
+            }[level_params.engine]
+            rot, trans, _ = batched(
                 rot, trans, sp, sm, si, tp, tm, tn, tim,
                 target.intrinsics, level_params,
             )

@@ -2,7 +2,7 @@
 
 Mirrors the reference's ``benches/bench_image_icp.rs`` workload — one
 640x480 RGB-D pair, 10 GN iterations — on the fused banded-gather Pallas
-v3 engine (align3d_tpu/ops/icp_pallas_v3.py). Baseline: 38.576 ms/pair on the
+v4 engine (align3d_tpu/ops/icp_pallas_v4.py). Baseline: 38.576 ms/pair on the
 reference's i7-11800H (README.md:128-134, BASELINE.md).
 
 Prints ONE JSON line:
@@ -63,7 +63,7 @@ def main() -> int:
     )[0]
 
     n = H * W
-    params = IcpParams(max_iterations=ITERS, engine="pallas")
+    params = IcpParams(max_iterations=ITERS, engine="pallas_v4")
     args = (
         source.points.reshape(n, 3),
         source.mask.reshape(n),
@@ -93,12 +93,12 @@ def main() -> int:
     # constructs ImageIcp::new(target) outside criterion's loop and times
     # only icp.align (reference benches/bench_image_icp.rs).
     from align3d_tpu.icp.image_icp import (
-        align_impl_pallas_v3_batched_packed,
-        prepack_v3_batched,
+        align_impl_pallas_v4_batched_packed,
+        prepack_v4_batched,
     )
 
     sp, tp, cent, _, _ = jax.jit(
-        functools.partial(prepack_v3_batched, intrinsics=intr)
+        functools.partial(prepack_v4_batched, intrinsics=intr)
     )(*bargs)
 
     @functools.partial(jax.jit, static_argnames=("reps",))
@@ -107,7 +107,7 @@ def main() -> int:
             r, t, acc = carry
             # acc feeds the next rep's initial translation: every rep is
             # strictly serialized and none can be CSE'd away.
-            br, bt, bres = align_impl_pallas_v3_batched_packed(
+            br, bt, bres = align_impl_pallas_v4_batched_packed(
                 r, t + 1e-12 * acc, sp, tp, cent, intr, H, W, params
             )
             return (r, t, acc + jnp.sum(bres))

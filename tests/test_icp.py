@@ -53,6 +53,16 @@ def test_image_icp_align_pallas_engine(sample2_pair):
     assert angle_diff < 0.01, angle_diff
 
 
+def test_image_icp_align_pallas_v4_engine(sample2_pair):
+    """The slim int-packed v4 engine (bf16 normals/reduction) meets the
+    same reference accuracy bar on real 640x480 data."""
+    ri0, ri1, gt = sample2_pair
+    icp = ImageIcp(IcpParams(max_iterations=5, engine="pallas_v4"), ri0)
+    actual = icp.align(ri1)
+    angle_diff = abs(float(TransformMetrics.new(actual, gt).angle))
+    assert angle_diff < 0.01, angle_diff
+
+
 def test_image_icp_identity_on_same_frame(sample2_pair):
     ri0, _, _ = sample2_pair
     icp = ImageIcp(IcpParams(max_iterations=3), ri0)
