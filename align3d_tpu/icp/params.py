@@ -77,13 +77,18 @@ class MsIcpParams:
 
     @classmethod
     def default_tpu(cls, engine: str = "pallas") -> "MsIcpParams":
-        """The reference defaults with a fused Pallas engine on the two
-        finest levels (where the pixel counts dominate the cost and coarse
-        alignment has already bounded the displacement for the band).
+        """The reference defaults with a fused Pallas engine at every level.
         ``engine`` picks the kernel: "pallas" (v3, f32 target pack) or
-        "pallas_v4" (slim int pack + bf16 reduction, fastest)."""
+        "pallas_v4" (slim int pack + bf16 reduction, fastest). The coarsest
+        level handles the bulk inter-frame motion, so it gets candidate-row
+        radius 2 (the per-chunk displacement spread before any alignment);
+        the finer levels keep radius 1 (profiled e2e split: the coarse level
+        on the XLA engine was 83% of the pipeline, tools/profile_e2e.py)."""
+        n = 3
         return cls.default().customize(
-            lambda i, p: p.replace(engine=engine) if i < 2 else p
+            lambda i, p: p.replace(
+                engine=engine, band_radius=2 if i == n - 1 else 1
+            )
         )
 
     def __len__(self) -> int:
