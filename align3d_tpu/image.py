@@ -127,11 +127,18 @@ def gaussian_blur(image: Array, sigma: float) -> Array:
     img = image.astype(jnp.float32)
 
     def pass_axis(x: Array, axis: int) -> Array:
+        # Edge-replicate pad once, then STATIC slices per tap (an index-array
+        # take lowers to a gather on TPU; slices are free).
         n = x.shape[axis]
-        acc = jnp.zeros_like(x)
-        for off, w in zip(range(lo, hi), weights):
-            idx = jnp.clip(jnp.arange(n) + off, 0, n - 1)
-            acc = acc + w * jnp.take(x, idx, axis=axis)
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (-lo, hi - 1)
+        xp = jnp.pad(x, pad, mode="edge")
+        acc = None
+        for k, w in enumerate(weights):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(k, k + n)
+            term = w * xp[tuple(sl)]
+            acc = term if acc is None else acc + term
         return acc
 
     return pass_axis(pass_axis(img, 0), 1)

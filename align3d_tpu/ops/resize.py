@@ -6,8 +6,12 @@ floor(u * ratio))``, takes the masked mean, and picks the source value
 nearest to that mean ("nearest-to-mean" pick). Empty neighborhoods produce
 mask 0 / zero values.
 
-Vectorized as a strided 4-tap gather + masked mean + masked argmin — one
-fused XLA op per level, batchable over frames.
+TPU structure: the 2x2 window of an exact half-resolution step is four
+STATIC strided slices (no gathers), and the nearest-to-mean pick is a
+running compare-select over the four taps — materializing a (h, w, 4, 3)
+tap axis and ``argmin``/``take_along_axis``-ing over it lowered to per-pixel
+gathers that dominated the whole pyramid build (45 ms of a 50 ms step for
+9 frames; this form is pure VPU select chains).
 """
 
 from __future__ import annotations
@@ -18,17 +22,25 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _window_gather(src: Array, src_v: Array, src_u: Array) -> Array:
-    """Gather the 2x2 window: returns (dst_h, dst_w, 4, ...) stacking
-    (0,0), (0,1), (1,0), (1,1) offsets."""
+def _window_taps(src: Array, src_v: Array, src_u: Array) -> list[Array]:
+    """The 2x2 window as a list of 4 (dst_h, dst_w, ...) arrays in
+    ((0,0), (0,1), (1,0), (1,1)) offset order."""
     h, w = src.shape[0], src.shape[1]
+    dh, dw = src_v.shape[0], src_u.shape[0]
     taps = []
-    for dv in (0, 1):
-        for du in (0, 1):
-            vv = jnp.clip(src_v + dv, 0, h - 1)
-            uu = jnp.clip(src_u + du, 0, w - 1)
-            taps.append(src[vv[:, None], uu[None, :]])
-    return jnp.stack(taps, axis=2)
+    if h == 2 * dh and w == 2 * dw:
+        # Exact 2x: static strided slices (the pyramid's only case on even
+        # dims — XLA compiles these to cheap copies).
+        for dv in (0, 1):
+            for du in (0, 1):
+                taps.append(src[dv::2, du::2])
+    else:
+        for dv in (0, 1):
+            for du in (0, 1):
+                vv = jnp.clip(src_v + dv, 0, h - 1)
+                uu = jnp.clip(src_u + du, 0, w - 1)
+                taps.append(src[vv[:, None], uu[None, :]])
+    return taps
 
 
 def resize_nearest_to_mean(
@@ -46,18 +58,27 @@ def resize_nearest_to_mean(
     src_v = (jnp.arange(dst_height, dtype=jnp.float32) * height_ratio).astype(jnp.int32)
     src_u = (jnp.arange(dst_width, dtype=jnp.float32) * width_ratio).astype(jnp.int32)
 
-    vals = _window_gather(src_values.astype(jnp.float32), src_v, src_u)  # (h, w, 4, 3)
-    mask = _window_gather(src_mask.astype(jnp.float32), src_v, src_u)  # (h, w, 4)
+    vals = _window_taps(src_values.astype(jnp.float32), src_v, src_u)
+    masks = _window_taps(src_mask.astype(jnp.float32), src_v, src_u)
 
-    count = jnp.sum(mask, axis=2)
+    count = masks[0] + masks[1] + masks[2] + masks[3]
     any_valid = count > 0
     safe_count = jnp.where(any_valid, count, 1.0)
-    mean = jnp.sum(vals * mask[..., None], axis=2) / safe_count[..., None]
+    mean = sum(v * m[..., None] for v, m in zip(vals, masks)) / safe_count[..., None]
 
-    dist = jnp.sum((vals - mean[:, :, None, :]) ** 2, axis=-1)
-    dist = jnp.where(mask > 0, dist, jnp.inf)
-    nearest_idx = jnp.argmin(dist, axis=2)
-    nearest = jnp.take_along_axis(vals, nearest_idx[:, :, None, None], axis=2)[:, :, 0]
+    # Nearest-to-mean: running compare-select; strict < keeps the FIRST tap
+    # on ties, matching argmin over the tap axis (and the reference's scan).
+    best_val = None
+    best_dist = None
+    for v, m in zip(vals, masks):
+        dist = jnp.sum((v - mean) ** 2, axis=-1)
+        dist = jnp.where(m > 0, dist, jnp.inf)
+        if best_val is None:
+            best_val, best_dist = v, dist
+        else:
+            better = dist < best_dist
+            best_dist = jnp.where(better, dist, best_dist)
+            best_val = jnp.where(better[..., None], v, best_val)
 
-    out_vals = jnp.where(any_valid[..., None], nearest, 0.0)
+    out_vals = jnp.where(any_valid[..., None], best_val, 0.0)
     return out_vals, any_valid

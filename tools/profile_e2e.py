@@ -42,11 +42,20 @@ def main() -> int:
     b = NFRAMES - 1
 
     # --- pyramids only ------------------------------------------------------
+    # Consume EVERY leaf with a full reduction: summing a single element lets
+    # XLA slice-push through the elementwise chain and DCE the actual work.
     def pyr_step(_, acc):
         pyr = pbatch.build_pyramids_batched(
-            intr, 0.001, colors, depths, pyramid_levels=3
+            intr, 0.001, colors, depths + (acc * 1e-12).astype(jnp.uint16),
+            pyramid_levels=3,
         )
-        return acc + pyr[0].points[0, 0, 0, 0] + 1e-12 * acc
+        tot = sum(
+            jnp.sum(leaf.astype(jnp.float32))
+            for ri in pyr
+            for leaf in jax.tree.leaves(ri)
+            if hasattr(leaf, "dtype")
+        )
+        return acc + tot * 1e-20
 
     ms = marginal_ms(pyr_step, jnp.float32(0), lo=1, hi=6, calls=3)
     log(f"pyramids (9 frames, 3 levels): {ms:.2f} ms ({ms / b:.3f} ms/frame)")
