@@ -152,8 +152,16 @@ def py_scale_down(color: Array, sigma: float) -> Array:
     """
     blurred = gaussian_blur(color, sigma)
     h, w = color.shape[0] // 2, color.shape[1] // 2
-    sampled = blurred[: 2 * h : 2, : 2 * w : 2]
+    sampled = _decimate2(blurred, h, w)
     return jnp.clip(sampled, 0.0, 255.0).astype(jnp.uint8)
+
+
+def _decimate2(x: Array, h: int, w: int) -> Array:
+    """x[:2h:2, :2w:2] without stride-2 slices (lane-stride relayouts are
+    expensive on TPU; reshape-pair + static index is contiguous)."""
+    if x.shape[0] == 2 * h and x.shape[1] == 2 * w:
+        return x.reshape((h, 2, w, 2) + x.shape[2:])[:, 0, :, 0]
+    return x[: 2 * h : 2, : 2 * w : 2]
 
 
 def normalize_to_luma_u8(image: Array) -> Array:

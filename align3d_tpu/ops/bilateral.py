@@ -278,6 +278,8 @@ class BilateralFilter:
 
     def scale_down(self, image: Array) -> Array:
         """Filter then stride-2 decimate (edge_aware_filter.rs:137-147)."""
+        from align3d_tpu.image import _decimate2
+
         filtered = self.filter(image)
         h, w = filtered.shape
-        return filtered[: 2 * (h // 2) : 2, : 2 * (w // 2) : 2]
+        return _decimate2(filtered, h // 2, w // 2)
