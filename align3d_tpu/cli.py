@@ -45,7 +45,7 @@ def cmd_odometry(args) -> int:
     params = (
         MsIcpParams.default()
         if args.engine == "xla"
-        else MsIcpParams.default_tpu(args.engine)
+        else MsIcpParams.default_tpu(args.engine, coarse_exact=args.coarse_exact)
     )
     result = run_odometry(
         dataset,
@@ -69,15 +69,51 @@ def cmd_odometry(args) -> int:
         with open(args.save_trajectory, "w") as f:
             f.write(result.trajectory.to_tum())
         print(f"Trajectory written to {args.save_trajectory} (TUM format)")
+
+    if args.show is not None:
+        # Reference --show hands off to the dataset viewer
+        # (examples/src/bin/odometry.rs:15-28 + rgbd_dataset_viewer.rs); the
+        # headless analog renders the clouds posed by the ESTIMATED
+        # trajectory: a GIF fly-through for .gif outputs, else a PNG.
+        from align3d_tpu.viz.dataset_viewer import (
+            render_dataset_flythrough,
+            render_dataset_preview,
+        )
+
+        render = (
+            render_dataset_flythrough
+            if args.show.lower().endswith(".gif")
+            else render_dataset_preview
+        )
+        out = render(
+            args.format,
+            args.dataset,
+            args.show,
+            max_frames=args.max_frames,
+            trajectory=result.trajectory,
+        )
+        print(f"Wrote {out}")
     return 0
 
 
 def cmd_viewer(args) -> int:
-    from align3d_tpu.viz.dataset_viewer import render_dataset_preview
-
-    out = render_dataset_preview(
-        args.format, args.dataset, args.output, max_frames=args.max_frames
+    from align3d_tpu.viz.dataset_viewer import (
+        render_dataset_flythrough,
+        render_dataset_preview,
     )
+
+    if args.animate or args.output.lower().endswith(".gif"):
+        out = render_dataset_flythrough(
+            args.format,
+            args.dataset,
+            args.output if args.output.lower().endswith(".gif")
+            else args.output + ".gif",
+            max_frames=args.max_frames,
+        )
+    else:
+        out = render_dataset_preview(
+            args.format, args.dataset, args.output, max_frames=args.max_frames
+        )
     print(f"Wrote {out}")
     return 0
 
@@ -97,7 +133,17 @@ def main(argv=None) -> int:
         default="xla",
         help="ICP engine: exact XLA gathers, or a fused banded Pallas "
         "kernel on the fine pyramid levels (TPU): v3 (f32 pack) or v4 "
-        "(slim int pack + bf16 reduction, fastest)",
+        "(slim int pack + bf16 reduction, fastest). The Pallas engines "
+        "associate within a tracked displacement band (radius 2 at the "
+        "coarsest level) — adequate for ordinary frame-to-frame motion; "
+        "for fast motion (several degrees/frame) add --coarse-exact",
+    )
+    p_odo.add_argument(
+        "--coarse-exact",
+        action="store_true",
+        help="with a pallas engine: keep the exact XLA association at the "
+        "coarsest pyramid level (handles arbitrary displacement; the fine "
+        "levels stay on the fast banded kernel)",
     )
     p_odo.add_argument(
         "--loop-closure",
@@ -107,6 +153,14 @@ def main(argv=None) -> int:
     )
     p_odo.add_argument("--quiet", "-q", action="store_true")
     p_odo.add_argument("--save-trajectory", metavar="PATH")
+    p_odo.add_argument(
+        "--show",
+        metavar="PATH",
+        default=None,
+        help="after odometry, render the reconstruction posed by the "
+        "estimated trajectory (reference odometry --show): animated GIF "
+        "fly-through if PATH ends in .gif, else a single PNG",
+    )
     p_odo.set_defaults(fn=cmd_odometry)
 
     p_view = sub.add_parser("viewer", help="render dataset + trajectory preview PNG")
@@ -114,6 +168,11 @@ def main(argv=None) -> int:
     p_view.add_argument("dataset")
     p_view.add_argument("--output", "-o", default="dataset_preview.png")
     p_view.add_argument("--max-frames", type=int, default=None)
+    p_view.add_argument(
+        "--animate",
+        action="store_true",
+        help="render an orbiting GIF fly-through instead of a single PNG",
+    )
     p_view.set_defaults(fn=cmd_viewer)
 
     args = parser.parse_args(argv)

@@ -230,8 +230,6 @@ def align_impl_pallas(
     """
     from align3d_tpu.ops import icp_pallas
 
-    if params.huber_delta is not None:
-        raise NotImplementedError("huber_delta is not supported by the pallas engine")
 
     h2, w2 = target_intensity_map.shape
     h, w = h2 - 2, w2 - 2
@@ -252,6 +250,7 @@ def align_impl_pallas(
         params.max_normal_angle,
         params.max_color_distance,
         params.band_radius,
+        0.0 if params.huber_delta is None else params.huber_delta,
     )
     cb0, dyb0, dxb0 = icp_pallas.predict_bases(
         initial_rotation, initial_translation, sp, intrinsics, h
@@ -324,8 +323,6 @@ def align_impl_pallas_batched(
     The TPU throughput configuration."""
     from align3d_tpu.ops import icp_pallas
 
-    if params.huber_delta is not None:
-        raise NotImplementedError("huber_delta is not supported by the pallas engine")
 
     bsz = source_points.shape[0]
     h2, w2 = target_intensity_map.shape[1], target_intensity_map.shape[2]
@@ -347,6 +344,7 @@ def align_impl_pallas_batched(
         params.max_normal_angle,
         params.max_color_distance,
         params.band_radius,
+        0.0 if params.huber_delta is None else params.huber_delta,
     )
     cb0, dyb0, dxb0 = icp_pallas.predict_bases_batched(
         initial_rotation, initial_translation, sp, intrinsics, h
@@ -449,8 +447,6 @@ def align_impl_pallas_v3(
     """
     from align3d_tpu.ops import icp_pallas_v3 as k3
 
-    if params.huber_delta is not None:
-        raise NotImplementedError("huber_delta is not supported by the pallas engine")
     if interpret is None:
         # Mosaic kernels only compile for TPU; on CPU (tests, virtual-mesh
         # CI) the same kernel runs via the Pallas interpreter.
@@ -475,6 +471,7 @@ def align_impl_pallas_v3(
         params.max_normal_angle,
         params.max_color_distance,
         params.band_radius,
+        0.0 if params.huber_delta is None else params.huber_delta,
     )
     centroids = k3.source_centroids(sp, intrinsics)
 
@@ -619,8 +616,6 @@ def align_impl_pallas_v3_batched_packed(
     equivalent of the reference's ``icp.align``)."""
     from align3d_tpu.ops import icp_pallas_v3 as k3
 
-    if params.huber_delta is not None:
-        raise NotImplementedError("huber_delta is not supported by the pallas engine")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -630,6 +625,7 @@ def align_impl_pallas_v3_batched_packed(
         params.max_normal_angle,
         params.max_color_distance,
         params.band_radius,
+        0.0 if params.huber_delta is None else params.huber_delta,
     )
 
     def body(_, carry):
@@ -724,8 +720,6 @@ def align_impl_pallas_v4_batched_packed(
     from align3d_tpu.ops import icp_pallas_v3 as k3
     from align3d_tpu.ops import icp_pallas_v4 as k4
 
-    if params.huber_delta is not None:
-        raise NotImplementedError("huber_delta is not supported by the pallas engine")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -735,6 +729,7 @@ def align_impl_pallas_v4_batched_packed(
         params.max_normal_angle,
         params.max_color_distance,
         params.band_radius,
+        0.0 if params.huber_delta is None else params.huber_delta,
     )
 
     def body(_, carry):

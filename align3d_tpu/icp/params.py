@@ -76,18 +76,32 @@ class MsIcpParams:
         )
 
     @classmethod
-    def default_tpu(cls, engine: str = "pallas") -> "MsIcpParams":
+    def default_tpu(
+        cls, engine: str = "pallas", coarse_exact: bool = False
+    ) -> "MsIcpParams":
         """The reference defaults with a fused Pallas engine at every level.
         ``engine`` picks the kernel: "pallas" (v3, f32 target pack) or
         "pallas_v4" (slim int pack + bf16 reduction, fastest). The coarsest
         level handles the bulk inter-frame motion, so it gets candidate-row
         radius 2 (the per-chunk displacement spread before any alignment);
         the finer levels keep radius 1 (profiled e2e split: the coarse level
-        on the XLA engine was 83% of the pipeline, tools/profile_e2e.py)."""
-        n = 3
-        return cls.default().customize(
+        on the XLA engine was 83% of the pipeline, tools/profile_e2e.py).
+
+        **Motion-regime limit**: the banded association re-predicts its band
+        base every iteration but only considers candidate rows within the
+        radius, so per-group displacement spread beyond radius 2 (+ the 8-row
+        halo) at the coarsest level — e.g. several degrees of inter-frame
+        rotation — silently drops correspondences. For fast motion pass
+        ``coarse_exact=True`` to keep the exact XLA association at the
+        coarsest level (arbitrary displacement) and the Pallas kernel on the
+        finer levels (tests/test_icp.py::test_default_tpu_large_rotation
+        pins both regimes)."""
+        base = cls.default()
+        n = len(base)
+        return base.customize(
             lambda i, p: p.replace(
-                engine=engine, band_radius=2 if i == n - 1 else 1
+                engine="xla" if (coarse_exact and i == n - 1) else engine,
+                band_radius=2 if i == n - 1 else 1,
             )
         )
 

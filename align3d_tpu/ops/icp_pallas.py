@@ -265,6 +265,7 @@ def _icp_kernel(
     max_normal_angle: float,
     max_color_distance_sqr: float,
     dy_radius: int,
+    huber_delta: float,
 ):
     b = pl.program_id(0)  # pair in the batch
     i = pl.program_id(1)  # source row chunk
@@ -401,6 +402,14 @@ def _icp_kernel(
     w_geom = (valid & dist_ok & (~angle_rejected)).astype(f32)
 
     r_geom = dx_ * nx_ + dy_ * ny_ + dz_ * nz_
+    if huber_delta > 0.0:
+        # Huber IRLS weight (matches optim.gauss_newton.huber_weight).
+        abs_r = jnp.abs(r_geom)
+        w_geom = w_geom * jnp.where(
+            abs_r <= f32(huber_delta),
+            f32(1.0),
+            f32(huber_delta) / jnp.maximum(abs_r, f32(1e-30)),
+        )
     # J = [n, p x n]
     jg3 = py * nz_ - pz * ny_
     jg4 = pz * nx_ - px * nz_
@@ -564,6 +573,7 @@ def icp_step_pallas_batched(
     nchunks = hp // CHUNK
     max_distance, max_normal_angle, max_color_distance = params_tuple[:3]
     dy_radius = int(params_tuple[3]) if len(params_tuple) > 3 else DY_RADIUS
+    huber_delta = float(params_tuple[4]) if len(params_tuple) > 4 else 0.0
 
     tr = jnp.concatenate(
         [
@@ -587,6 +597,7 @@ def icp_step_pallas_batched(
         max_normal_angle=float(max_normal_angle),
         max_color_distance_sqr=float(max_color_distance) ** 2,
         dy_radius=dy_radius,
+        huber_delta=huber_delta,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

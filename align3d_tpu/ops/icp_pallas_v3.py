@@ -364,6 +364,7 @@ def _icp_kernel_v3(
     max_normal_angle: float,
     max_color_distance_sqr: float,
     dy_radius: int,
+    huber_delta: float,
 ):
     if emit_stats:
         stats_ref, band, gath, sems = rest
@@ -518,6 +519,15 @@ def _icp_kernel_v3(
     w_geom = (valid & dist_ok & (~angle_rejected)).astype(f32)
 
     r_geom = dx_ * nx_ + dy_ * ny_ + dz_ * nz_
+    if huber_delta > 0.0:
+        # Huber IRLS weight on the geometric residual; the color weight below
+        # inherits it, matching the XLA engine (optim.gauss_newton.huber_weight).
+        abs_r = jnp.abs(r_geom)
+        w_geom = w_geom * jnp.where(
+            abs_r <= f32(huber_delta),
+            f32(1.0),
+            f32(huber_delta) / jnp.maximum(abs_r, f32(1e-30)),
+        )
     jg3 = py * nz_ - pz * ny_
     jg4 = pz * nx_ - px * nz_
     jg5 = px * ny_ - py * nx_
@@ -677,6 +687,7 @@ def icp_step_pallas_batched(
     band_rows = _band(hp)
     max_distance, max_normal_angle, max_color_distance = params_tuple[:3]
     dy_radius = int(params_tuple[3]) if len(params_tuple) > 3 else DY_RADIUS
+    huber_delta = float(params_tuple[4]) if len(params_tuple) > 4 else 0.0
 
     tr = jnp.concatenate(
         [
@@ -701,6 +712,7 @@ def icp_step_pallas_batched(
         max_normal_angle=float(max_normal_angle),
         max_color_distance_sqr=float(max_color_distance) ** 2,
         dy_radius=dy_radius,
+        huber_delta=huber_delta,
         emit_stats=emit_stats,
     )
 

@@ -78,10 +78,14 @@ class RgbdDatasetViewer:
         self.dataset = dataset
         self.viewer = GeoViewer(width, height)
 
-    def build_scene(self, max_frames: int | None = None, stride: int = 1) -> Scene:
+    def build_scene(
+        self, max_frames: int | None = None, stride: int = 1, trajectory=None
+    ) -> Scene:
+        """``trajectory`` overrides the dataset's own poses (used by the
+        odometry CLI's ``--show`` to render the ESTIMATED trajectory)."""
         from align3d_tpu.range_image import RangeImage
 
-        traj = self.dataset.trajectory()
+        traj = trajectory if trajectory is not None else self.dataset.trajectory()
         n = len(self.dataset)
         if max_frames is not None:
             n = min(n, max_frames * stride)

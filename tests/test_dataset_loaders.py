@@ -166,3 +166,30 @@ class TestCliSmoke:
         assert rc == 0
         out = capsys.readouterr().out
         assert "Mean trajectory error" in out
+
+
+class TestShowAndFlythrough:
+    def test_odometry_show_png(self, il_tree, tmp_path, capsys):
+        from align3d_tpu.cli import main
+
+        out = str(tmp_path / "recon.png")
+        rc = main(
+            ["odometry", "ilrgbd", il_tree, "3", "--no-bilateral", "-q",
+             "--show", out]
+        )
+        assert rc == 0
+        import os
+
+        assert os.path.getsize(out) > 0
+
+    def test_viewer_animate_gif(self, il_tree, tmp_path, capsys):
+        from PIL import Image
+
+        from align3d_tpu.cli import main
+
+        out = str(tmp_path / "fly.gif")
+        rc = main(["viewer", "ilrgbd", il_tree, "-o", out, "--max-frames", "2"])
+        assert rc == 0
+        img = Image.open(out)
+        assert img.format == "GIF"
+        assert getattr(img, "n_frames", 1) > 8  # a real animation

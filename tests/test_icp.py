@@ -100,3 +100,94 @@ def test_pcl_icp_align(sample1_dataset):
     )
     angle_diff = abs(float(TransformMetrics.new(actual, gt).angle))
     assert angle_diff < 0.1, angle_diff
+
+
+def _plane_pair(rot_deg: float, h=120, w=160):
+    """Synthetic analytic pair: textured tilted plane viewed from identity
+    (target) and from a camera rotated ``rot_deg`` about x (source).
+
+    Depth has a closed form (ray-plane intersection), so both frames are
+    exact renders of the same surface and the GT relative transform is the
+    source camera_to_world itself.
+    """
+    from align3d_tpu.camera import CameraIntrinsics
+    from align3d_tpu.range_image import build_pyramid_impl
+    from align3d_tpu.se3 import Transform
+
+    intr = CameraIntrinsics(
+        fx=0.8 * w, fy=0.8 * w, cx=w / 2 - 0.5, cy=h / 2 - 0.5, width=w, height=h
+    )
+    n = np.array([0.15, -0.25, 1.0])
+    n /= np.linalg.norm(n)
+    d = float(n @ np.array([0.0, 0.0, 1.2]))
+
+    def render(rot, trans):
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        dir_c = np.stack(
+            [
+                (xs - intr.cx) / intr.fx,
+                (ys - intr.cy) / intr.fy,
+                np.ones_like(xs, np.float64),
+            ],
+            axis=-1,
+        )
+        dir_w = dir_c @ rot.T
+        s = (d - n @ trans) / (dir_w @ n)
+        pts_w = trans + s[..., None] * dir_w
+        depth = np.clip(s / 0.001, 0, 65535).astype(np.uint16)  # z_cam == s
+        tex = (
+            150
+            + 50 * np.sin(55.0 * pts_w[..., 0]) * np.cos(47.0 * pts_w[..., 1])
+            + 30 * np.sin(23.0 * (pts_w[..., 0] + pts_w[..., 1]))
+        )
+        rgb = np.repeat(
+            np.clip(tex, 0, 255).astype(np.uint8)[..., None], 3, axis=-1
+        )
+        return build_pyramid_impl(
+            True, True, 3, 1.0, intr, 0.001, jnp.asarray(rgb), jnp.asarray(depth)
+        )
+
+    a = np.radians(rot_deg)
+    rot_src = np.array(
+        [
+            [1.0, 0.0, 0.0],
+            [0.0, np.cos(a), -np.sin(a)],
+            [0.0, np.sin(a), np.cos(a)],
+        ]
+    )
+    t_src = np.array([0.01, -0.02, 0.005])
+    target = render(np.eye(3), np.zeros(3))
+    source = render(rot_src, t_src)
+    gt = Transform(
+        jnp.asarray(rot_src, jnp.float32), jnp.asarray(t_src, jnp.float32)
+    )
+    return target, source, gt
+
+
+def test_default_tpu_small_motion_banded_ok():
+    """Pins the band-radius-2 claim: for ordinary frame-to-frame motion
+    (~1.5 deg) the all-banded default_tpu() preset meets the reference
+    accuracy bar (ADVICE r2: band-radius-2 accuracy claim)."""
+    target, source, gt = _plane_pair(1.5)
+    params = MsIcpParams.default_tpu("pallas").customize(
+        lambda i, p: p.replace(max_iterations=10)
+    )
+    result = MultiscaleAlign(params, target).align(source)
+    err = TransformMetrics.new(result, gt)
+    assert abs(float(err.angle)) < 0.01, float(err.angle)
+
+
+def test_default_tpu_large_rotation_coarse_exact():
+    """Motion-regime limit of the banded association (ADVICE r2): at ~7 deg
+    of inter-frame rotation the coarse-level displacement exceeds the
+    radius-2 candidate rows, so default_tpu(coarse_exact=True) keeps the
+    exact XLA association at the coarsest level and still converges."""
+    target, source, gt = _plane_pair(7.0)
+    params = MsIcpParams.default_tpu("pallas", coarse_exact=True).customize(
+        lambda i, p: p.replace(max_iterations=12)
+    )
+    assert params[len(params) - 1].engine == "xla"
+    assert all(p.engine == "pallas" for p in list(params)[:-1])
+    result = MultiscaleAlign(params, target).align(source)
+    err = TransformMetrics.new(result, gt)
+    assert abs(float(err.angle)) < 0.01, float(err.angle)

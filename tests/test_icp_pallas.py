@@ -173,22 +173,28 @@ def test_batched_align_matches_single():
         _np.testing.assert_allclose(_np.asarray(bt[k]), _np.asarray(t_s), atol=1e-5)
 
 
-def test_pallas_engine_rejects_huber():
+def test_pallas_engine_huber_matches_xla():
+    """Huber IRLS weights are supported by every Pallas engine (previously a
+    NotImplementedError); pose parity vs the XLA engine."""
     h, w = 32, 128
     intr, target, source = _pair(h, w)
-    params = IcpParams(max_iterations=1, huber_delta=0.1, engine="pallas")
+    params = IcpParams(max_iterations=2, huber_delta=0.01)
     n = h * w
-    with pytest.raises(NotImplementedError):
-        align_impl_pallas(
-            jnp.eye(3),
-            jnp.zeros(3),
-            source.points.reshape(n, 3),
-            source.mask.reshape(n),
-            source.intensities.reshape(n),
-            target.points.reshape(n, 3),
-            target.mask.reshape(n),
-            target.normals.reshape(n, 3),
-            target.intensity_map,
-            intr,
-            params,
-        )
+    args = (
+        jnp.eye(3),
+        jnp.zeros(3),
+        source.points.reshape(n, 3),
+        source.mask.reshape(n),
+        source.intensities.reshape(n),
+        target.points.reshape(n, 3),
+        target.mask.reshape(n),
+        target.normals.reshape(n, 3),
+        target.intensity_map,
+        intr,
+        params,
+    )
+    ref_rot, ref_tr, _ = align_impl(*args)
+    got_rot, got_tr, _ = align_impl_pallas(*args, interpret=True)
+    d = Transform(got_rot, got_tr) @ Transform(ref_rot, ref_tr).inverse()
+    assert float(d.angle()) < 1e-3
+    assert float(jnp.linalg.norm(d.translation)) < 1e-3

@@ -160,3 +160,56 @@ def test_batched_matches_single():
     for b in range(2):
         np.testing.assert_allclose(np.asarray(rb[b]), np.asarray(r1), atol=2e-3)
         np.testing.assert_allclose(np.asarray(tb[b]), np.asarray(t1), atol=2e-3)
+
+
+def test_huber_step_matches_xla_systems():
+    """Huber IRLS weights in the v3 kernel match the XLA engine exactly
+    (f32 pack — unlike v4 there is no quantization slack to hide behind)."""
+    h, w = 48, 256
+    intr, target, source = _pair(h, w)
+    delta = 0.004
+    params = IcpParams(huber_delta=delta)
+    n = h * w
+    rot, tr = jnp.eye(3), jnp.zeros(3)
+
+    geom, color = icp_step(
+        Transform(rot, tr),
+        source.points.reshape(n, 3),
+        source.mask.reshape(n),
+        source.intensities.reshape(n),
+        pack_geometry(target.points, target.normals, target.mask),
+        pack_intensity_taps(target.intensity_map),
+        h,
+        w,
+        intr,
+        params,
+    )
+
+    sp = k3.pack_source(source.points, source.mask, source.intensities)
+    tp = k3.pack_target(
+        target.points, target.normals, target.mask, target.intensity_map
+    )
+    pt = (
+        params.max_distance,
+        params.max_normal_angle,
+        params.max_color_distance,
+        params.band_radius,
+        delta,
+    )
+    cb, dyb, dxb = k3.predict_bases(rot, tr, sp, intr, h)
+    geo_aug, col_aug, _ = k3.icp_step_pallas(
+        rot, tr, cb, dyb, dxb, sp, tp, intr, h, w, pt, interpret=True,
+        emit_stats=False,
+    )
+    # Non-binary IRLS weights add one extra f32 divide per residual; the
+    # accumulation-order noise grows to ~4e-4 relative on the Hessian.
+    for aug, sys in ((geo_aug, geom), (col_aug, color)):
+        np.testing.assert_allclose(float(aug[7, 7]), float(sys.count), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(aug[0:6, 0:6]), np.asarray(sys.hessian), rtol=1.5e-3,
+            atol=1e-4 * float(np.abs(np.asarray(sys.hessian)).max()),
+        )
+        np.testing.assert_allclose(
+            np.asarray(aug[0:6, 6]), np.asarray(sys.gradient), rtol=1.5e-3,
+            atol=5e-4 * float(np.abs(np.asarray(sys.gradient)).max()),
+        )

@@ -183,3 +183,90 @@ def test_batched_matches_single():
     for b in range(2):
         np.testing.assert_allclose(np.asarray(rb[b]), np.asarray(r1), atol=2e-3)
         np.testing.assert_allclose(np.asarray(tb[b]), np.asarray(t1), atol=2e-3)
+
+
+def test_huber_step_matches_xla_systems():
+    """Non-binary Huber IRLS weights flow through the kernel identically to
+    the XLA engine (reference robust_estimator.rs:10-28; weight applied once
+    on H = J^T W J, inherited by the color weight)."""
+    h, w = 48, 256
+    intr, target, source = _pair(h, w)
+    delta = 0.004  # small enough that many residuals get down-weighted
+    params = IcpParams(huber_delta=delta)
+    n = h * w
+    rot, tr = jnp.eye(3), jnp.zeros(3)
+
+    geom, color = icp_step(
+        Transform(rot, tr),
+        source.points.reshape(n, 3),
+        source.mask.reshape(n),
+        source.intensities.reshape(n),
+        pack_geometry(target.points, target.normals, target.mask),
+        pack_intensity_taps(target.intensity_map),
+        h,
+        w,
+        intr,
+        params,
+    )
+
+    sp = k3.pack_source(source.points, source.mask, source.intensities)
+    tp = k4.pack_target(
+        target.points, target.normals, target.mask, target.intensity_map
+    )
+    pt = (
+        params.max_distance,
+        params.max_normal_angle,
+        params.max_color_distance,
+        params.band_radius,
+        delta,
+    )
+    cb, dyb, dxb = k3.predict_bases(rot, tr, sp, intr, h)
+    geo_aug, col_aug = k4.icp_step_pallas(
+        rot, tr, cb, dyb, dxb, sp, tp, intr, h, w, pt, interpret=True
+    )
+    # The huberized weight sum must be well below the gate count (proves the
+    # weights actually bite) and the systems must agree within bf16 noise.
+    plain_count = float(
+        k4.icp_step_pallas(
+            rot, tr, cb, dyb, dxb, sp, tp, intr, h, w, pt[:4], interpret=True
+        )[0][7, 7]
+    )
+    assert float(geo_aug[7, 7]) < plain_count - 1.0
+    for aug, sys in ((geo_aug, geom), (col_aug, color)):
+        np.testing.assert_allclose(
+            float(aug[7, 7]), float(sys.count), rtol=3e-2
+        )
+        hs = np.asarray(sys.hessian)
+        np.testing.assert_allclose(
+            np.asarray(aug[0:6, 0:6]), hs, rtol=2e-2, atol=1e-2 * np.abs(hs).max()
+        )
+        gs = np.asarray(sys.gradient)
+        np.testing.assert_allclose(
+            np.asarray(aug[0:6, 6]), gs, rtol=2e-2, atol=3e-2 * np.abs(gs).max()
+        )
+
+
+def test_huber_align_matches_xla_pose():
+    h, w = 32, 128
+    intr, target, source = _pair(h, w)
+    params = IcpParams(max_iterations=3, huber_delta=0.01)
+    n = h * w
+    args = (
+        jnp.eye(3),
+        jnp.zeros(3),
+        source.points.reshape(n, 3),
+        source.mask.reshape(n),
+        source.intensities.reshape(n),
+        target.points.reshape(n, 3),
+        target.mask.reshape(n),
+        target.normals.reshape(n, 3),
+        target.intensity_map,
+        intr,
+        params,
+    )
+    ref_rot, ref_tr, _ = align_impl(*args)
+    got_rot, got_tr, _ = align_impl_pallas_v4(*args, interpret=True)
+    d = Transform(got_rot, got_tr) @ Transform(ref_rot, ref_tr).inverse()
+    assert float(d.angle()) < 2e-3
+    # bf16 pack noise is amplified slightly by the non-binary IRLS weights.
+    assert float(jnp.linalg.norm(d.translation)) < 5e-3
