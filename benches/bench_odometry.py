@@ -54,7 +54,22 @@ def main() -> int:
     )
     log(f"engine: {engine}; {NFRAMES} frames, 3-level pyramid, iters 20/20/30")
 
-    def pipeline(colors_in, depths_in, initial):
+    # Second variant: the full reference-README pipeline with the bilateral
+    # depth filter ON (README.md:44-113 enables it for the published
+    # bedroom-20 anchor). The grid's range axis is sized for this scene.
+    from align3d_tpu.ops.bilateral import BilateralFilter
+
+    filt = BilateralFilter()
+    gd_static = (
+        int((int(depths.max()) - int(depths.min())) / filt.sigma_color) + 1 + 4
+    )
+
+    def pipeline(colors_in, depths_in, initial, with_bilateral=False):
+        if with_bilateral:
+            cmin = jnp.min(depths_in, axis=(1, 2))
+            depths_in = jax.vmap(
+                lambda d, cm: filt.filter_static(d, cm, gd_static)
+            )(depths_in, cmin)
         pyr = pbatch.build_pyramids_batched(
             intr, 0.001, colors_in, depths_in, pyramid_levels=3
         )
@@ -73,11 +88,25 @@ def main() -> int:
         rot, trans = pipeline(colors, depths, init)
         return acc + jnp.sum(trans[-1])
 
+    def step_bilateral(_, carry):
+        acc = carry
+        init = Transform.identity((b,))
+        init = Transform(init.rotation, init.translation + 1e-12 * acc)
+        rot, trans = pipeline(colors, depths, init, with_bilateral=True)
+        return acc + jnp.sum(trans[-1])
+
     ms = marginal_ms(step, jnp.float32(0.0), lo=1, hi=4, calls=3)
     ms_per_frame = ms / b
     log(
         f"odometry e2e: {ms:.2f} ms per {b}-pair step "
         f"({ms_per_frame:.3f} ms/frame, {1000.0 / ms_per_frame:.0f} frames/s/chip)"
+    )
+    ms_b = marginal_ms(step_bilateral, jnp.float32(0.0), lo=1, hi=4, calls=3)
+    ms_b_frame = ms_b / b
+    log(
+        f"odometry e2e + bilateral (gd={gd_static}): {ms_b:.2f} ms per "
+        f"{b}-pair step ({ms_b_frame:.3f} ms/frame, "
+        f"{1000.0 / ms_b_frame:.0f} frames/s/chip)"
     )
     emit("odometry_e2e_640x480_ms_per_frame", ms_per_frame, "ms", None)
     return 0

@@ -2,12 +2,17 @@
 
 The reference's headline accuracy claim is mean trajectory error
 angle 1.91 deg / translation 0.03885 on IndoorLidar bedroom-20
-(reference README.md:115-117). That dataset is not redistributable inside
-this image, so the enforced end-to-end oracle runs the identical pipeline
-(bilateral + normals + intensity, 3-level pyramid, MsIcpParams defaults)
-on the reference's own committed SlamTb fixtures and holds the result to a
-bound an order of magnitude TIGHTER than the published bedroom number —
-regression here would surface long before the bedroom gate is at risk.
+(reference README.md:115-117), produced by a pipeline with the bilateral
+depth filter ENABLED (README.md:44-113 builds RangeImageBuilder with
+``.with_bilateral_filter``). That dataset is not redistributable inside
+this image, so the enforced end-to-end oracles run on the reference's own
+committed SlamTb fixtures and hold the result to a bound an order of
+magnitude TIGHTER than the published bedroom number — regression here
+would surface long before the bedroom gate is at risk.
+
+Two variants are pinned: the default builder (bilateral OFF — the
+``RangeImageBuilder::default()`` configuration, builder.rs:16-27) and the
+reference-README configuration with the bilateral filter ON.
 """
 
 import math
@@ -15,13 +20,35 @@ import math
 import pytest
 
 from align3d_tpu.odometry import run_odometry
+from align3d_tpu.ops.bilateral import BilateralFilter
+from align3d_tpu.range_image import RangeImageBuilder
+
+
+def _assert_bounds(result, angle_bound_deg=0.5, trans_bound=0.01):
+    assert result.metrics is not None
+    angle_deg = math.degrees(float(result.metrics.angle))
+    assert angle_deg < angle_bound_deg, (
+        f"mean trajectory angle error {angle_deg:.3f} deg"
+    )
+    trans = float(result.metrics.translation)
+    assert trans < trans_bound, f"mean trajectory translation error {trans:.4f}"
 
 
 @pytest.mark.slow
 def test_full_pipeline_trajectory_error_sample1(sample1_dataset):
+    """Default builder (bilateral off), MsIcpParams defaults."""
     result = run_odometry(sample1_dataset, max_frames=10)
-    assert result.metrics is not None
-    angle_deg = math.degrees(float(result.metrics.angle))
-    assert angle_deg < 0.5, f"mean trajectory angle error {angle_deg:.3f} deg"
-    trans = float(result.metrics.translation)
-    assert trans < 0.01, f"mean trajectory translation error {trans:.4f}"
+    _assert_bounds(result)
+
+
+@pytest.mark.slow
+def test_full_pipeline_bilateral_on_sample1(sample1_dataset):
+    """The reference README pipeline: bilateral + normals + intensity.
+
+    Mirrors reference README.md:44-113 (RangeImageBuilder with bilateral
+    filter, default MsIcpParams) — the exact configuration behind the
+    published bedroom-20 1.91 deg / 0.03885 anchor.
+    """
+    builder = RangeImageBuilder(bilateral_filter=BilateralFilter())
+    result = run_odometry(sample1_dataset, range_builder=builder, max_frames=10)
+    _assert_bounds(result)
