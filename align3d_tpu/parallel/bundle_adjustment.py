@@ -134,8 +134,12 @@ def _partials(
 ):
     """Additive normal-equation pieces from a (shard of) observations.
 
-    Returns (hpp (N,6,6), hll (M,3,3), w_blk (N,M,6,3), gp (N,6), gl (M,3),
-    sq (scalar sum of weighted squared residuals), cnt (scalar)).
+    Returns (hpp (N,6,6), hll (M,3,3), w_obs (O,6,3) PER-OBSERVATION fill-in
+    blocks, gp (N,6), gl (M,3), sq (scalar sum of weighted squared
+    residuals), cnt (scalar)). The fill-in stays in per-observation COO form
+    — the r2 dense (N, M, 6, 3) scatter was 720 MB at N=100 x M=100k and
+    capped problem sizes; consumers either densify (small problems) or run
+    Schur products on the COO blocks directly.
     """
     t_cw = Transform(
         jnp.take(poses.rotation, obs_pose, axis=0),
@@ -174,9 +178,6 @@ def _partials(
         jnp.einsum("odu,odw->ouw", jl * w, jl), obs_landmark, num_segments=m
     )  # (M, 3, 3)
     w_obs = jnp.einsum("odu,odw->ouw", jpw, jl)  # (O, 6, 3)
-    w_blk = jnp.zeros((n, m, 6, 3), jnp.float32).at[obs_pose, obs_landmark].add(
-        w_obs
-    )
     gp = jax.ops.segment_sum(
         jnp.einsum("odu,od->ou", jpw, res), obs_pose, num_segments=n
     )
@@ -185,7 +186,110 @@ def _partials(
     )
     sq = jnp.sum(weights * jnp.sum(res * res, axis=-1))
     cnt = jnp.sum(weights > 0.0)
-    return hpp, hll, w_blk, gp, gl, sq, cnt
+    return hpp, hll, w_obs, gp, gl, sq, cnt
+
+
+def _densify_w(w_obs, obs_pose, obs_landmark, n, m):
+    """COO fill-in -> dense (N, M, 6, 3) for the small-problem direct path."""
+    return jnp.zeros((n, m, 6, 3), jnp.float32).at[obs_pose, obs_landmark].add(
+        w_obs
+    )
+
+
+def _pcg(matvec, precond, b, iters: int, tol: float = 1e-10):
+    """Block-Jacobi preconditioned CG with a static trip count (see
+    pose_graph._pcg — duplicated to keep both modules self-contained)."""
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        hp = matvec(p)
+        denom = jnp.sum(p * hp)
+        live = (rz > tol) & (denom > 0.0)
+        alpha = jnp.where(live, rz / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(live, rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0)
+        p = jnp.where(live, z + beta * p, p)
+        return x, r, p, jnp.where(live, rz_new, rz)
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x
+
+
+def _schur_solve_coo(
+    hpp: Array,  # (N, 6, 6)
+    hll: Array,  # (M, 3, 3)
+    w_obs: Array,  # (O, 6, 3) per-observation fill-in blocks
+    obs_pose: Array,  # (O,)
+    obs_landmark: Array,  # (O,)
+    gp: Array,  # (N, 6)
+    gl: Array,  # (M, 3)
+    damping: float,
+    cg_iters: int,
+    psum_axis: str | None = None,
+) -> tuple[Array, Array]:
+    """Schur-reduced solve with the fill-in kept in COO form.
+
+    Every product with W / W^T is two segment ops over the observation axis
+    — O(O) work and memory, never the dense (N, M) structure. The reduced
+    pose system is solved with block-Jacobi PCG (matvec: S v = (Hpp + λ) v
+    - W Hll^{-1} W^T v). With ``psum_axis`` (inside shard_map, observations
+    sharded), the per-landmark and per-pose partial sums are psummed so
+    every device sees the global matvec.
+    """
+    n, m = hpp.shape[0], hll.shape[0]
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    hll_inv = jnp.linalg.inv(hll + damping * eye3)
+
+    # Gauge fix pose 0 before elimination (same as the dense path).
+    zero_mask = (obs_pose == 0)[:, None, None]
+    w_obs = jnp.where(zero_mask, 0.0, w_obs)
+    gp = gp.at[0].set(0.0)
+    hpp = hpp.at[0].set(jnp.eye(6))
+
+    def psum(x):
+        return jax.lax.psum(x, psum_axis) if psum_axis is not None else x
+
+    def wt_v(v):  # W^T v: (N, 6) -> (M, 3), global
+        tv = jax.ops.segment_sum(
+            jnp.einsum("ouw,ou->ow", w_obs, jnp.take(v, obs_pose, axis=0)),
+            obs_landmark,
+            num_segments=m,
+        )
+        return psum(tv)
+
+    def w_z(z):  # W z: (M, 3) -> (N, 6), global
+        wv = jax.ops.segment_sum(
+            jnp.einsum("ouw,ow->ou", w_obs, jnp.take(z, obs_landmark, axis=0)),
+            obs_pose,
+            num_segments=n,
+        )
+        return psum(wv)
+
+    y_l = jnp.einsum("Lwx,Lx->Lw", hll_inv, gl)  # Hll^{-1} gl
+    rhs = gp - w_z(y_l)
+
+    hpp_damped = hpp + damping * jnp.eye(6, dtype=jnp.float32)[None]
+    minv = jnp.linalg.inv(hpp_damped)
+
+    def matvec(v):
+        z = jnp.einsum("Lwx,Lx->Lw", hll_inv, wt_v(v))
+        return jnp.einsum("nuw,nw->nu", hpp_damped, v) - w_z(z)
+
+    def precond(r):
+        return jnp.einsum("nuw,nw->nu", minv, r)
+
+    dp = -_pcg(matvec, precond, rhs, cg_iters)
+    wt_dp = wt_v(dp)
+    dl = -jnp.einsum("Lwx,Lx->Lw", hll_inv, gl + wt_dp)
+    return dp, dl
 
 
 def _schur_solve(
@@ -235,14 +339,23 @@ def optimize(
     iterations: int = 10,
     damping: float = 1e-4,
     mesh: Mesh | None = None,
+    solver: str = "auto",
+    cg_iters: int = 64,
 ) -> tuple[Transform, Array]:
     """Gauss-Newton BA; returns (refined poses, refined landmarks).
 
     With ``mesh``, observations shard over the first mesh axis; per-shard
     partials reduce with one ``psum`` each, and the tiny Schur system is
     solved replicated — SURVEY §2.6's distributed plan.
+
+    ``solver``: "dense" materializes the (N, M, 6, 3) fill-in and the exact
+    dense Schur complement (small problems); "coo" keeps per-observation
+    blocks and solves the reduced pose system with PCG — O(O) memory, the
+    path for pod-scale N x M; "auto" switches on problem size.
     """
     n, m = problem.n_poses, problem.n_landmarks
+    if solver == "auto":
+        solver = "dense" if n * m <= 1_000_000 else "coo"
     obs_pose = problem.obs_pose
     obs_landmark = problem.obs_landmark
     with_depth = problem.obs_z is not None
@@ -279,11 +392,22 @@ def optimize(
 
     def step(poses: Transform, landmarks: Array):
         if mesh is None:
-            hpp, hll, w_blk, gp, gl, _, _ = build(
+            hpp, hll, w_obs, gp, gl, _, _ = build(
                 poses, landmarks, obs_pose, obs_landmark, obs_uvz, weights
             )
-        else:
-            axis = mesh.axis_names[0]
+            if solver == "dense":
+                w_blk = _densify_w(w_obs, obs_pose, obs_landmark, n, m)
+                dp, dl = _schur_solve(hpp, hll, w_blk, gp, gl, damping)
+            else:
+                dp, dl = _schur_solve_coo(
+                    hpp, hll, w_obs, obs_pose, obs_landmark, gp, gl,
+                    damping, cg_iters,
+                )
+            return poses @ Transform.exp(dp), landmarks + dl
+
+        axis = mesh.axis_names[0]
+
+        if solver == "dense":
 
             @partial(
                 jax.shard_map,
@@ -293,14 +417,45 @@ def optimize(
                 check_vma=False,
             )
             def sharded(poses_r, lm_r, op_s, ol_s, uv_s, w_s):
-                parts = build(poses_r, lm_r, op_s, ol_s, uv_s, w_s)
-                return tuple(jax.lax.psum(p, axis) for p in parts[:5])
+                hpp, hll, w_obs, gp, gl, _, _ = build(
+                    poses_r, lm_r, op_s, ol_s, uv_s, w_s
+                )
+                w_blk = _densify_w(w_obs, op_s, ol_s, n, m)
+                return tuple(
+                    jax.lax.psum(p, axis) for p in (hpp, hll, w_blk, gp, gl)
+                )
 
             hpp, hll, w_blk, gp, gl = sharded(
                 poses, landmarks, obs_pose, obs_landmark, obs_uvz, weights
             )
+            dp, dl = _schur_solve(hpp, hll, w_blk, gp, gl, damping)
+        else:
 
-        dp, dl = _schur_solve(hpp, hll, w_blk, gp, gl, damping)
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            def sharded_coo(rot, tr, lm_r, op_s, ol_s, uv_s, w_s):
+                poses_r = Transform(rot, tr)
+                hpp_s, hll_s, w_obs_s, gp_s, gl_s, _, _ = build(
+                    poses_r, lm_r, op_s, ol_s, uv_s, w_s
+                )
+                hpp = jax.lax.psum(hpp_s, axis)
+                hll = jax.lax.psum(hll_s, axis)
+                gp = jax.lax.psum(gp_s, axis)
+                gl = jax.lax.psum(gl_s, axis)
+                return _schur_solve_coo(
+                    hpp, hll, w_obs_s, op_s, ol_s, gp, gl,
+                    damping, cg_iters, psum_axis=axis,
+                )
+
+            dp, dl = sharded_coo(
+                poses.rotation, poses.translation, landmarks,
+                obs_pose, obs_landmark, obs_uvz, weights,
+            )
         return poses @ Transform.exp(dp), landmarks + dl
 
     step = jax.jit(step)

@@ -92,17 +92,19 @@ def propose_loop_closures(
     max_candidates: int = 32,
 ) -> np.ndarray:
     """Pose-distance loop-closure candidates: frame pairs far in time but
-    near in space. Returns (K, 2) int array (host side)."""
+    near in space, RANKED by spatial distance (closest first) so truncation
+    to ``max_candidates`` keeps the most promising pairs rather than the
+    earliest frames. Returns (K, 2) int array (host side)."""
     t = np.asarray(traj.camera_to_world.translation)
     n = t.shape[0]
-    out = []
-    for i in range(n):
-        d = np.linalg.norm(t - t[i], axis=1)
-        js = np.where((np.arange(n) > i + min_separation) & (d < max_translation))[0]
-        for j in js:
-            out.append((i, int(j)))
-    out = out[:max_candidates]
-    return np.asarray(out, np.int64).reshape(-1, 2)
+    d = np.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)  # (N, N)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ok = (jj > ii + min_separation) & (d < max_translation)
+    cand_i, cand_j = np.nonzero(ok)
+    order = np.argsort(d[cand_i, cand_j], kind="stable")[:max_candidates]
+    return np.stack(
+        [cand_i[order], cand_j[order]], axis=1
+    ).astype(np.int64).reshape(-1, 2)
 
 
 def _edge_residual(twist_i: Array, twist_j: Array, t_i: Transform, t_j: Transform, z_inv: Transform) -> Array:
@@ -113,8 +115,8 @@ def _edge_residual(twist_i: Array, twist_j: Array, t_i: Transform, t_j: Transfor
     return (z_inv @ (ti.inverse() @ tj)).log()
 
 
-def _edge_system(nodes: Transform, edges: Array, meas: Transform, weights: Array, n: int):
-    """Dense (6n, 6n) H and (6n,) g from a (shard of) edges."""
+def _edge_jacobians(nodes: Transform, edges: Array, meas: Transform):
+    """Per-edge residuals + 6x6 Jacobian blocks: (res (E,6), j_i, j_j (E,6,6))."""
     t_i = Transform(
         jnp.take(nodes.rotation, edges[:, 0], axis=0),
         jnp.take(nodes.translation, edges[:, 0], axis=0),
@@ -133,7 +135,12 @@ def _edge_system(nodes: Transform, edges: Array, meas: Transform, weights: Array
     j_j = jax.vmap(
         lambda a, b, c, d: jax.jacfwd(_edge_residual, argnums=1)(jnp.zeros(6), a, b, c, d)
     )(zero[:, :], t_i, t_j, z_inv)
+    return res, j_i, j_j
 
+
+def _edge_system(nodes: Transform, edges: Array, meas: Transform, weights: Array, n: int):
+    """Dense (6n, 6n) H and (6n,) g from a (shard of) edges."""
+    res, j_i, j_j = _edge_jacobians(nodes, edges, meas)
     w = weights[:, None, None]
     # Scatter the 6x6 blocks into the dense system with one-hot selectors
     # over node ids — expressed as einsums (MXU contractions), which keeps
@@ -150,22 +157,123 @@ def _edge_system(nodes: Transform, edges: Array, meas: Transform, weights: Array
     return h.reshape(n * 6, n * 6), g.reshape(n * 6)
 
 
+def _block_system(nodes, edges, meas, weights, n: int):
+    """Block-sparse normal equations from a (shard of) edges.
+
+    Returns (hdiag (N,6,6) additive, hij (E,6,6) shard-local COO off-diagonal
+    blocks, g (N,6) additive). Work and memory are O(E) — the dense one-hot
+    assembly (the r2 form) was O(E*N^2) and capped N at keyframe counts.
+    Gauge: pose 0's blocks are dropped here (its diagonal becomes I), so the
+    CG runs on the reduced system directly.
+    """
+    res, j_i, j_j = _edge_jacobians(nodes, edges, meas)
+    ei, ej = edges[:, 0], edges[:, 1]
+    # Gauge-fix pose 0 at the residual level: any Jacobian w.r.t. pose 0 is
+    # zeroed, which deletes its rows/cols from every product below.
+    j_i = jnp.where((ei == 0)[:, None, None], 0.0, j_i)
+    j_j = jnp.where((ej == 0)[:, None, None], 0.0, j_j)
+    w = weights[:, None, None]
+
+    h_ii = jnp.einsum("edu,edw->euw", j_i * w, j_i)
+    h_jj = jnp.einsum("edu,edw->euw", j_j * w, j_j)
+    hij = jnp.einsum("edu,edw->euw", j_i * w, j_j)  # (E, 6, 6) block (i, j)
+    hdiag = jax.ops.segment_sum(h_ii, ei, num_segments=n) + jax.ops.segment_sum(
+        h_jj, ej, num_segments=n
+    )
+    g = jax.ops.segment_sum(
+        jnp.einsum("edu,ed->eu", j_i * w, res), ei, num_segments=n
+    ) + jax.ops.segment_sum(
+        jnp.einsum("edu,ed->eu", j_j * w, res), ej, num_segments=n
+    )
+    return hdiag, hij, g
+
+
+def _finalize_diag(hdiag: Array, damping: float) -> Array:
+    """Damping + gauge identity, applied ONCE after any cross-shard psum
+    (per-shard application would multiply them by the shard count)."""
+    hdiag = hdiag + damping * jnp.eye(6, dtype=jnp.float32)[None]
+    return hdiag.at[0].set(jnp.eye(6, dtype=jnp.float32))
+
+
+def _pcg(matvec, precond, b, iters: int, tol: float = 1e-10):
+    """Preconditioned CG on the block system; fixed trip count (jit-static),
+    frozen via masking once the residual norm passes ``tol``."""
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        hp = matvec(p)
+        denom = jnp.sum(p * hp)
+        live = (rz > tol) & (denom > 0.0)
+        alpha = jnp.where(live, rz / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(live, rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0)
+        p = jnp.where(live, z + beta * p, p)
+        return x, r, p, jnp.where(live, rz_new, rz)
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x
+
+
+def _cg_step_update(nodes, hdiag, hij, g, edges, cg_iters: int):
+    """One GN update from the block system via block-Jacobi PCG."""
+    n = hdiag.shape[0]
+    ei, ej = edges[:, 0], edges[:, 1]
+    minv = jnp.linalg.inv(hdiag)  # (N, 6, 6) block-Jacobi preconditioner
+
+    def matvec(v):
+        out = jnp.einsum("nuw,nw->nu", hdiag, v)
+        vi = jnp.take(v, ei, axis=0)
+        vj = jnp.take(v, ej, axis=0)
+        out = out + jax.ops.segment_sum(
+            jnp.einsum("euw,ew->eu", hij, vj), ei, num_segments=n
+        )
+        out = out + jax.ops.segment_sum(
+            jnp.einsum("ewu,ew->eu", hij, vi), ej, num_segments=n
+        )
+        return out
+
+    def precond(r):
+        return jnp.einsum("nuw,nw->nu", minv, r)
+
+    update = -_pcg(matvec, precond, g, cg_iters)
+    return nodes @ Transform.exp(update)
+
+
 def optimize(
     graph: PoseGraph,
     iterations: int = 10,
     damping: float = 1e-6,
     mesh: Mesh | None = None,
+    solver: str = "auto",
+    cg_iters: int = 64,
 ) -> Transform:
     """Gauss-Newton over the pose graph; pose 0 gauge-fixed.
 
     With ``mesh``, edges are sharded over the mesh axis and per-shard normal
     equations combine with ``psum`` — per SURVEY §2.6's distributed plan.
     Returns the refined batched Transform.
+
+    ``solver``: "dense" materializes the (6N, 6N) system and Cholesky-solves
+    it (exact, O(E*N^2) assembly — fine for keyframe-scale N); "cg" keeps
+    per-edge 6x6 blocks in COO form and runs block-Jacobi preconditioned CG
+    (O(E) per matvec — the long-sequence path); "auto" picks CG above 64
+    poses. Under a mesh the CG matvec psums shard-local off-diagonal
+    products, so the off-diagonal blocks never leave their shard.
     """
     n = len(graph.nodes)
     edges = graph.edges
     meas = graph.measurements
     weights = graph.weights
+    if solver == "auto":
+        solver = "cg" if n > 64 else "dense"
 
     if mesh is not None:
         n_dev = mesh.devices.size
@@ -183,7 +291,62 @@ def optimize(
     def build_system(nodes, edges_s, meas_s, weights_s):
         return _edge_system(nodes, edges_s, meas_s, weights_s, n)
 
+    def step_cg(nodes: Transform) -> Transform:
+        if mesh is None:
+            hdiag, hij, g = _block_system(nodes, edges, meas, weights, n)
+            hdiag = _finalize_diag(hdiag, damping)
+            return _cg_step_update(nodes, hdiag, hij, g, edges, cg_iters)
+
+        from jax import shard_map
+
+        axis = mesh.axis_names[0]
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def sharded(rot, tr, edges_s, meas_s, weights_s):
+            nodes_r = Transform(rot, tr)
+            meas_t = Transform(meas_s[:, :3, :3], meas_s[:, :3, 3])
+            hdiag_s, hij_s, g_s = _block_system(
+                nodes_r, edges_s, meas_t, weights_s, n
+            )
+            hdiag = _finalize_diag(jax.lax.psum(hdiag_s, axis), damping)
+            g = jax.lax.psum(g_s, axis)
+            minv = jnp.linalg.inv(hdiag)
+            ei, ej = edges_s[:, 0], edges_s[:, 1]
+
+            def matvec(v):
+                out = jnp.einsum("nuw,nw->nu", hdiag, v)
+                vi = jnp.take(v, ei, axis=0)
+                vj = jnp.take(v, ej, axis=0)
+                local = jax.ops.segment_sum(
+                    jnp.einsum("euw,ew->eu", hij_s, vj), ei, num_segments=n
+                ) + jax.ops.segment_sum(
+                    jnp.einsum("ewu,ew->eu", hij_s, vi), ej, num_segments=n
+                )
+                return out + jax.lax.psum(local, axis)
+
+            update = -_pcg(
+                matvec, lambda r: jnp.einsum("nuw,nw->nu", minv, r), g, cg_iters
+            )
+            out = nodes_r @ Transform.exp(update)
+            return out.rotation, out.translation
+
+        meas_mat = jnp.zeros((meas.rotation.shape[0], 4, 4), jnp.float32)
+        meas_mat = meas_mat.at[:, :3, :3].set(meas.rotation)
+        meas_mat = meas_mat.at[:, :3, 3].set(meas.translation)
+        rot, tr = sharded(
+            nodes.rotation, nodes.translation, edges, meas_mat, weights
+        )
+        return Transform(rot, tr)
+
     def step(nodes: Transform) -> Transform:
+        if solver == "cg":
+            return step_cg(nodes)
         if mesh is None:
             h, g = build_system(nodes, edges, meas, weights)
         else:

@@ -9,6 +9,7 @@ pins the global-scale gauge that reprojection-only BA leaves free.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 from align3d_tpu.camera import CameraIntrinsics
@@ -102,11 +103,12 @@ def test_schur_matches_dense_solve():
     problem, _, _ = _synthetic_problem(n_poses=3, n_landmarks=8, seed=3)
     n, m = problem.n_poses, problem.n_landmarks
     obs_uvz = jnp.concatenate([problem.obs_uv, problem.obs_z[:, None]], axis=1)
-    hpp, hll, w_blk, gp, gl, _, _ = ba._partials(
+    hpp, hll, w_obs, gp, gl, _, _ = ba._partials(
         problem.poses, problem.landmarks, problem.obs_pose,
         problem.obs_landmark, obs_uvz, problem.weights, INTR, n, m,
         with_depth=True, depth_weight=problem.depth_weight,
     )
+    w_blk = ba._densify_w(w_obs, problem.obs_pose, problem.obs_landmark, n, m)
     damping = 1e-4
     dp, dl = ba._schur_solve(hpp, hll, w_blk, gp, gl, damping)
 
@@ -163,3 +165,77 @@ def test_noisy_observations_converge():
     assert err < 1.0  # settles near the pixel-noise floor
     rel = poses_gt.inverse() @ poses
     assert float(jnp.max(jnp.linalg.norm(rel.log(), axis=-1))) < 5e-3
+
+
+def test_coo_matches_dense_solver():
+    """The COO/PCG Schur path == the dense direct path (both forced)."""
+    problem, _, _ = _synthetic_problem(seed=4)
+    pd, ld = ba.optimize(problem, iterations=4, solver="dense")
+    pc, lc = ba.optimize(problem, iterations=4, solver="coo", cg_iters=128)
+    np.testing.assert_allclose(
+        np.asarray(pc.translation), np.asarray(pd.translation), atol=5e-4
+    )
+    np.testing.assert_allclose(np.asarray(lc), np.asarray(ld), atol=5e-4)
+
+
+def test_coo_sharded_matches_single_device():
+    problem, _, _ = _synthetic_problem(seed=5)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), (ba.OBS_AXIS,))
+    ps, ls = ba.optimize(problem, iterations=3, solver="coo", mesh=mesh)
+    p1, l1 = ba.optimize(problem, iterations=3, solver="coo")
+    np.testing.assert_allclose(
+        np.asarray(ps.translation), np.asarray(p1.translation), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(l1), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_coo_large_problem_scales():
+    """500 poses x 50k landmarks x 200k observations: the r2 dense fill-in
+    would be 500*50000*18*4 B = 1.8 TB; the COO path runs it (VERDICT r2
+    next-step #4) and reduces the reprojection error."""
+    rng = np.random.default_rng(11)
+    n, m, o = 500, 50_000, 200_000
+    landmarks_gt = jnp.asarray(
+        rng.uniform([-4, -4, 2.0], [4, 4, 8.0], (m, 3)), jnp.float32
+    )
+    from align3d_tpu.se3 import stack
+
+    poses = [Transform.identity()]
+    for _ in range(n - 1):
+        poses.append(
+            poses[-1]
+            @ Transform.exp(jnp.asarray(rng.normal(0, 0.01, 6), jnp.float32))
+        )
+    poses_gt = stack(poses)
+
+    obs_pose = jnp.asarray(rng.integers(0, n, o), jnp.int32)
+    obs_landmark = jnp.asarray(rng.integers(0, m, o), jnp.int32)
+
+    t_cw = Transform(
+        jnp.take(poses_gt.rotation, obs_pose, axis=0),
+        jnp.take(poses_gt.translation, obs_pose, axis=0),
+    )
+    p_cam = t_cw.inverse().apply(jnp.take(landmarks_gt, obs_landmark, axis=0))
+    z = p_cam[:, 2]
+    u = p_cam[:, 0] * INTR.fx / z + INTR.cx
+    v = p_cam[:, 1] * INTR.fy / z + INTR.cy
+    problem = ba.BAProblem(
+        poses=poses_gt,
+        landmarks=landmarks_gt
+        + jnp.asarray(rng.normal(0, 0.05, (m, 3)), jnp.float32),
+        obs_pose=obs_pose,
+        obs_landmark=obs_landmark,
+        obs_uv=jnp.stack([u, v], axis=1),
+        weights=jnp.ones(o, jnp.float32),
+        intrinsics=INTR,
+        obs_z=z,
+    )
+    err0 = float(ba.mean_reprojection_error(problem))
+    poses_r, lm_r = ba.optimize(problem, iterations=2, solver="auto", cg_iters=32)
+    refined = ba.BAProblem(
+        poses_r, lm_r, obs_pose, obs_landmark, problem.obs_uv,
+        problem.weights, INTR, obs_z=problem.obs_z,
+    )
+    err = float(ba.mean_reprojection_error(refined))
+    assert err < 0.2 * err0

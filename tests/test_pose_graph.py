@@ -109,3 +109,68 @@ def test_propose_loop_closures():
     cands = pg.propose_loop_closures(traj, min_separation=6, max_translation=1.5)
     assert cands.shape[1] == 2
     assert len(cands) > 0
+
+
+def test_cg_matches_dense():
+    """Block-COO + block-Jacobi PCG == the dense Cholesky path (small graph,
+    both solvers forced)."""
+    gt, traj, gt_list, _ = _noisy_ring(n=10)
+    z = gt_list[0].inverse() @ gt_list[9]
+    graph = pg.PoseGraph.from_trajectory(traj).with_edge(0, 9, z, 5.0)
+    dense = pg.optimize(graph, iterations=6, solver="dense")
+    cg = pg.optimize(graph, iterations=6, solver="cg", cg_iters=128)
+    np.testing.assert_allclose(
+        np.asarray(cg.translation), np.asarray(dense.translation), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cg.rotation), np.asarray(dense.rotation), atol=2e-4
+    )
+
+
+def test_cg_sharded_matches_single():
+    gt, traj, gt_list, _ = _noisy_ring(n=9)
+    z = gt_list[0].inverse() @ gt_list[8]
+    graph = pg.PoseGraph.from_trajectory(traj).with_edge(0, 8, z, 5.0)
+    single = pg.optimize(graph, iterations=4, solver="cg")
+    mesh = make_mesh()
+    sharded = pg.optimize(graph, iterations=4, solver="cg", mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded.translation), np.asarray(single.translation), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.rotation), np.asarray(single.rotation), atol=1e-4
+    )
+
+
+def test_cg_long_sequence_scales():
+    """500-pose chain + loop closures: the CG path runs where the dense
+    assembly (O(E*N^2) one-hot einsums) would build 9e9-element temporaries.
+    Checks drift reduction, not just survival."""
+    n = 500
+    rng = np.random.default_rng(3)
+    from align3d_tpu.se3 import stack
+
+    gt = [Transform.identity()]
+    for k in range(n - 1):
+        step = Transform.exp(
+            jnp.asarray([0.1, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / n], jnp.float32)
+        )
+        gt.append(gt[-1] @ step)
+    est = [gt[0]]
+    for k in range(n - 1):
+        rel = gt[k].inverse() @ gt[k + 1]
+        noise = Transform.exp(jnp.asarray(rng.normal(0, 0.01, 6), jnp.float32))
+        est.append(est[-1] @ (rel @ noise))
+    traj = Trajectory(stack(est), jnp.arange(n, dtype=jnp.float32))
+    graph = pg.PoseGraph.from_trajectory(traj)
+    for j in (n // 2, n - 1):
+        z = gt[0].inverse() @ gt[j]
+        graph = graph.with_edge(0, j, z, 10.0)
+
+    # CG information travels one graph hop per matvec, so a 500-chain
+    # needs ~N iterations; each matvec is O(E) so this stays cheap.
+    refined = pg.optimize(graph, iterations=4, solver="auto", cg_iters=768)
+    gt_batch = stack(gt)
+    err_before = _pose_err(traj.camera_to_world, gt_batch)
+    err_after = _pose_err(refined, gt_batch)
+    assert err_after < 0.6 * err_before
