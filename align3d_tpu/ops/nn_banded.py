@@ -3,11 +3,10 @@
 SURVEY §2.3's ⚡ row: the reference's ``R3dTree`` (descent-only, approximate,
 ``src/kdtree.rs:69-105``) becomes a voxel-grid NN designed around what the
 TPU is actually good at. The pure-XLA formulation (:mod:`.voxel_hash`) is
-correct but gather-bound (~7 ns/element random ``take``; ``searchsorted``
-costs tens of ms at 500k) — fine on CPU and for small clouds, hopeless
+correct but gather-bound — fine on CPU and for small clouds, hopeless
 against the reference's 101.75 ms at 500k×500k. This module restructures the
-search so every HBM access is a CONTIGUOUS band DMA and all math is dense
-VPU work:
+search so every HBM access is a CONTIGUOUS band DMA and the distance math
+runs on the MXU:
 
 1. **Sort by z-major linear cell id** (XLA argsort — 0.4 ms at 500k). The
    27-cell neighborhood of cell ``l`` lives at linear ids
@@ -17,17 +16,34 @@ VPU work:
    queries spans cell ids [l0, l1]; for each of the 9 (dx, dy) offsets,
    every candidate for every query in the block lies in ONE contiguous run
    ``[starts[l0+off-1], ...)`` of the sorted DB — one band DMA per
-   (block, offset), 8 contiguous segments each.
-3. **Dense masked running argmin in VMEM**: candidate planes along lanes,
-   queries along sublanes (pre-transposed on the XLA side — the kernel does
-   no relayouts); validity = per-axis cell-coordinate distance ≤ 1, which
-   also kills out-of-band rows the fixed-size DMA drags in. Original
-   indices ride as an f32 plane (exact to 2^24).
+   (block, offset).
+3. **MXU distance evaluation**: argmin_c ||q-c||² = argmin_c (|c|² - 2q·c)
+   — the |q|² term is constant per query. The DB is packed position-major
+   as (Mp/128, 8, 128) tiles of [-2x, -2y, -2z, |c|², payload...], so each
+   candidate tile's scores are ONE (8, QB)ᵀ@(8, 128) matmul and the VPU
+   only does the running compare-select (3 ops/candidate vs 15 in the v1
+   kernel, which computed distances AND a 3-axis cell-ring mask pointwise).
+   The query sort carries coordinates as sort payloads (separate gathers
+   cost more than the kernel at 500k). v1: 29 ms at 500k×500k; this form
+   8.9 ms (band 256) / 10.2 ms (band 512) on one v5e.
+4. **Point-to-plane payload** (:func:`associate_p2p`): a grid built with
+   normals carries [nx, ny, nz, pos·n] in the 4 zero rows of each tile —
+   they multiply the query operand's zero rows in the score matmul, so the
+   search is unchanged, and the select loop tracks the winner's payload.
+   The pcl-ICP iteration then needs NO index gather and NO un-sort at all
+   (the GN reduction is order-independent): 100k x 10 iterations dropped
+   from 62 ms to 18.8 ms.
 
-Approximation contract (the reference's own ``nearest`` never backtracks):
-exact nearest within one cell ring, up to the static band capacity
-``band_width`` per (block, dx, dy) — longer bands are truncated (density
-cap). Queries with no candidate get index 0 / +inf distance.
+Approximation contract (the reference's own ``nearest`` never backtracks;
+it is approximate too): candidates are whatever the 9 bands cover —
+AT LEAST the one-ring neighborhood up to the static ``band_width`` capacity
+per (block, dx, dy), often more (bands are not cell-masked, and extra
+candidates can only improve the result since true distance decides).
+Every query returns a genuine (index, squared-distance) pair; queries far
+from the DB simply get a large distance — gate downstream (the pcl-ICP
+``max_distance`` gate does), matching reference kd-tree semantics where
+``nearest`` always returns something. ``tests/test_nn_banded.py`` holds
+recall against the exact brute force on uniform AND clustered clouds.
 """
 
 from __future__ import annotations
@@ -45,7 +61,8 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 QB = 128  # queries per kernel block
-NPLANES = 8  # x, y, z, cx, cy, cz, orig_idx, pad
+NPLANES = 8  # -2x, -2y, -2z, |c|^2, then 4 zero pad rows (f32 sublane tile)
+NBANDS = 9  # one band per (dx, dy) offset; dz stripes are contiguous
 
 
 def _ceil_div(a: int, b: int) -> int:
@@ -57,7 +74,11 @@ def _ceil_div(a: int, b: int) -> int:
 class SortedGrid:
     """DB sorted by z-major linear cell id + dense per-cell start offsets."""
 
-    planes: Array  # (NPLANES, Mp) f32: x y z cx cy cz orig_idx pad
+    planes: Array  # (Mp/128, NPLANES, 128) f32 position-major tiles of
+    # [-2x, -2y, -2z, |c|^2, 0, 0, 0, 0] — a 128-aligned band of sorted
+    # positions is ONE contiguous DMA (a plane-major (8, Mp) layout needs 8
+    # strided segments per band and the descriptor overhead dominates)
+    orig_idx: Array  # (Mp,) i32: sorted position -> original DB index
     starts: Array  # (NCELLS + 1,) i32 cumulative cell counts
     cell_size: float
     origin: tuple  # (3,) int cell-space origin (static)
@@ -65,7 +86,7 @@ class SortedGrid:
     n: int  # true point count
 
     def tree_flatten(self):
-        return (self.planes, self.starts), (
+        return (self.planes, self.orig_idx, self.starts), (
             self.cell_size,
             self.origin,
             self.dims,
@@ -77,11 +98,16 @@ class SortedGrid:
         return cls(*children, *aux)
 
     @classmethod
-    def build(cls, points: Array, cell_size: float) -> "SortedGrid":
+    def build(
+        cls, points: Array, cell_size: float, normals: Array | None = None
+    ) -> "SortedGrid":
         """Host-side sizing (bounding box -> static dims) + on-device sort.
 
         ``points`` must be concrete (the DB is fixed at construction, like
-        the reference's kd-tree build in ``Icp::new``).
+        the reference's kd-tree build in ``Icp::new``). With ``normals`` the
+        4 free plane rows carry [nx, ny, nz, pos.n] — the point-to-plane
+        payload (:func:`associate_p2p`); they multiply the query operand's
+        zero rows in the score matmul, so the search is unchanged.
         """
         pts = np.asarray(points, np.float32)
         n = pts.shape[0]
@@ -94,18 +120,18 @@ class SortedGrid:
                 f"grid too fine: {dims} = {ncells} cells; raise cell_size"
             )
         origin = tuple(int(v) for v in lo)
-        return cls._build_jit(jnp.asarray(pts), cell_size, origin, dims, n)
+        nrm = None if normals is None else jnp.asarray(normals, jnp.float32)
+        return cls._build_jit(jnp.asarray(pts), nrm, cell_size, origin, dims, n)
 
     @classmethod
     @partial(jax.jit, static_argnames=("cls", "cell_size", "origin", "dims", "n"))
-    def _build_jit(cls, pts, cell_size, origin, dims, n):
+    def _build_jit(cls, pts, normals, cell_size, origin, dims, n):
         cells = jnp.floor(pts / cell_size).astype(jnp.int32) - jnp.asarray(
             origin, jnp.int32
         )
         lin = (cells[:, 0] * dims[1] + cells[:, 1]) * dims[2] + cells[:, 2]
         order = jnp.argsort(lin)
         lin_sorted = lin[order]
-        cells_sorted = cells[order].astype(jnp.float32)
         pts_sorted = pts[order]
 
         ncells = dims[0] * dims[1] * dims[2]
@@ -118,24 +144,35 @@ class SortedGrid:
 
         mp = _ceil_div(n, 128) * 128
         pad = mp - n
+        sqn = jnp.sum(pts_sorted * pts_sorted, axis=1)
+        if normals is None:
+            zero = jnp.zeros(n, jnp.float32)
+            payload = [zero, zero, zero, zero]
+        else:
+            nrm_sorted = normals[order]
+            payload = [
+                nrm_sorted[:, 0],
+                nrm_sorted[:, 1],
+                nrm_sorted[:, 2],
+                jnp.sum(pts_sorted * nrm_sorted, axis=1),
+            ]
         planes = jnp.stack(
             [
-                pts_sorted[:, 0],
-                pts_sorted[:, 1],
-                pts_sorted[:, 2],
-                cells_sorted[:, 0],
-                cells_sorted[:, 1],
-                cells_sorted[:, 2],
-                order.astype(jnp.float32),
-                jnp.zeros(n, jnp.float32),
-            ],
+                -2.0 * pts_sorted[:, 0],
+                -2.0 * pts_sorted[:, 1],
+                -2.0 * pts_sorted[:, 2],
+                sqn,
+            ]
+            + payload,
             axis=0,
         )
         planes = jnp.pad(planes, ((0, 0), (0, pad)))
         if pad:
-            # Padding columns: far-away cell sentinel (never matches).
-            planes = planes.at[3:6, n:].set(-1e9)
-        return cls(planes, starts, cell_size, origin, dims, n)
+            # Padding columns: +inf-like |c|^2 sentinel — never wins argmin.
+            planes = planes.at[3, n:].set(1e30)
+        planes = planes.reshape(NPLANES, mp // 128, 128).transpose(1, 0, 2)
+        orig_idx = jnp.pad(order.astype(jnp.int32), (0, pad))
+        return cls(planes, orig_idx, starts, cell_size, origin, dims, n)
 
 
 def _nn_kernel(
@@ -143,25 +180,26 @@ def _nn_kernel(
     # (nblocks, 9) layout would blow the 1 MB SMEM at large nblocks)
     bstart_ref,  # (nblocks * 9,) i32 band starts
     # inputs
-    q_ref,  # (1, 6, 8, 16) VMEM query planes, queries along sublanes
-    planes_ref,  # (NPLANES, Mp) HBM sorted DB planes
+    q_ref,  # (1, 8, QB) VMEM [qx, qy, qz, 1, 0...] planes, queries on lanes
+    planes_ref,  # (Mp/128, NPLANES, 128) HBM position-major DB tiles
     # outputs
-    out_ref,  # (1, 2, 8, 16) [best_sq, best_idx_f32], query layout as q_ref
+    out_ref,  # (1, 2, QB, 1) [score; best_idx_f32] query columns
     # scratch
-    band,  # (2, 9, NPLANES, BW) double-buffered bands
-    sems,  # (2, 9) DMA semaphores
+    band,  # (2, NBANDS, BW/128, NPLANES, 128) double-buffered band tiles
+    sems,  # (2, NBANDS) DMA semaphores
     *,
     band_width: int,
+    payload: bool = False,
 ):
     i = pl.program_id(0)
     nblocks = pl.num_programs(0)
     f32 = jnp.float32
 
     def start_band_dmas(slot, blk):
-        for b in range(9):
-            start = pl.multiple_of(bstart_ref[blk * 9 + b], 128)
+        for b in range(NBANDS):
+            t0 = bstart_ref[blk * NBANDS + b] // 128
             pltpu.make_async_copy(
-                planes_ref.at[:, pl.ds(start, band_width)],
+                planes_ref.at[pl.ds(t0, band_width // 128)],
                 band.at[slot, b],
                 sems.at[slot, b],
             ).start()
@@ -175,62 +213,69 @@ def _nn_kernel(
         start_band_dmas(jax.lax.rem(i + 1, 2), i + 1)
 
     slot = jax.lax.rem(i, 2)
-    for b in range(9):
-        start = pl.multiple_of(bstart_ref[i * 9 + b], 128)
+    for b in range(NBANDS):
+        t0 = bstart_ref[i * NBANDS + b] // 128
         pltpu.make_async_copy(
-            planes_ref.at[:, pl.ds(start, band_width)],
+            planes_ref.at[pl.ds(t0, band_width // 128)],
             band.at[slot, b],
             sems.at[slot, b],
         ).wait()
 
-    # Query planes: (8 queries, 16 lane groups) each.
-    qx = q_ref[0, 0]
-    qy = q_ref[0, 1]
-    qz = q_ref[0, 2]
-    qcx = q_ref[0, 3]
-    qcy = q_ref[0, 4]
-    qcz = q_ref[0, 5]
+    a = q_ref[0]  # (8, QB) = [qx, qy, qz, 1, 0, 0, 0, 0] planes
 
-    best_sq = [jnp.full((8, 128), jnp.inf, f32) for _ in range(16)]
-    best_ix = [jnp.zeros((8, 128), f32) for _ in range(16)]
-    for b in range(9):
-        for j0 in range(0, band_width, 128):
-            sl = slice(j0, j0 + 128)
-            cx = band[slot, b, 0, sl][None, :]  # (1, 128) candidates
-            cy = band[slot, b, 1, sl][None, :]
-            cz = band[slot, b, 2, sl][None, :]
-            ccx = band[slot, b, 3, sl][None, :]
-            ccy = band[slot, b, 4, sl][None, :]
-            ccz = band[slot, b, 5, sl][None, :]
-            cix = jnp.broadcast_to(band[slot, b, 6, sl][None, :], (8, 128))
-            for g in range(16):
-                gs = slice(g, g + 1)
-                dx = cx - qx[:, gs]
-                dy = cy - qy[:, gs]
-                dz = cz - qz[:, gs]
-                sq = dx * dx + dy * dy + dz * dz
-                ok = (
-                    (jnp.abs(ccx - qcx[:, gs]) <= 1.0)
-                    & (jnp.abs(ccy - qcy[:, gs]) <= 1.0)
-                    & (jnp.abs(ccz - qcz[:, gs]) <= 1.0)
-                )
-                sq = jnp.where(ok, sq, jnp.inf)
-                better = sq < best_sq[g]
-                best_sq[g] = jnp.where(better, sq, best_sq[g])
-                best_ix[g] = jnp.where(better, cix, best_ix[g])
+    best = jnp.full((QB, 128), jnp.inf, f32)
+    bidx = jnp.zeros((QB, 128), f32)
+    bpay = [jnp.zeros((QB, 128), f32) for _ in range(4)] if payload else []
+    for b in range(NBANDS):
+        # Full 8-sublane tile operands; rows 4..7 are zero in both, so they
+        # add nothing to the contraction.
+        start = pl.multiple_of(bstart_ref[i * NBANDS + b], 128)
+        # Candidate identity = its SORTED position (band start + offset),
+        # pure iota arithmetic — no extra plane loads; the XLA side maps
+        # winners back to original DB indices with one take.
+        base = start.astype(f32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (QB, 128), 1).astype(f32)
+        for t in range(band_width // 128):
+            # One 128-candidate tile per matmul, consumed immediately by the
+            # running select — a whole-band (QB, BW) score matrix would
+            # spill vregs to VMEM and the spill traffic dominates.
+            tile = jax.lax.dot_general(
+                a,
+                band[slot, b, t],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (QB, 128): |c|^2 - 2 q . c
+            it = base + f32(t * 128) + lane
+            better = tile < best
+            best = jnp.where(better, tile, best)
+            bidx = jnp.where(better, it, bidx)
+            if payload:
+                # The winner's point-to-plane payload [nx, ny, nz, pos.n]
+                # rides plane rows 4..7 (zeroed out of the score matmul by
+                # the query operand) — tracking it here removes the
+                # 100k-row target gather from the pcl-ICP loop entirely.
+                for kk in range(4):
+                    pk = jnp.broadcast_to(
+                        band[slot, b, t, 4 + kk : 5 + kk], (QB, 128)
+                    )
+                    bpay[kk] = jnp.where(better, pk, bpay[kk])
 
-    # Lane-reduce each group's (8, 128) running minima to one winner/query
-    # via a log2(128) roll-fold (argmin + gather don't lower in Mosaic).
-    for g in range(16):
-        bsq, bix = best_sq[g], best_ix[g]
-        for sh in (64, 32, 16, 8, 4, 2, 1):
-            rs = pltpu.roll(bsq, sh, 1)
-            ri = pltpu.roll(bix, sh, 1)
-            take = rs < bsq
-            bsq = jnp.where(take, rs, bsq)
-            bix = jnp.where(take, ri, bix)
-        out_ref[0, 0, :, g] = bsq[:, 0]
-        out_ref[0, 1, :, g] = bix[:, 0]
+    # Cross-lane reduce: winning score per query, then its (smallest) index.
+    minv = jnp.min(best, axis=1, keepdims=True)  # (QB, 1)
+    sel = best == minv
+    idxv = jnp.min(jnp.where(sel, bidx, jnp.inf), axis=1, keepdims=True)
+    out_ref[0, 0] = minv
+    out_ref[0, 1] = idxv
+    if payload:
+        # Tie-break to ONE winning lane, then mask-reduce each payload row.
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (QB, 128), 1)
+        code = jnp.where(sel, lane_i, jnp.int32(1 << 30))
+        lanewin = jnp.min(code, axis=1, keepdims=True)
+        pick = (lane_i == lanewin).astype(f32)
+        for kk in range(4):
+            out_ref[0, 2 + kk] = jnp.sum(
+                bpay[kk] * pick, axis=1, keepdims=True
+            )
 
 
 @partial(jax.jit, static_argnames=("band_width", "interpret"))
@@ -242,8 +287,11 @@ def nearest_banded(
 ) -> tuple[Array, Array]:
     """Nearest DB point per query: (indices (Q,) i32, sq_distances (Q,) f32).
 
-    Exact within one cell ring of the query, up to ``band_width`` candidates
-    per (block, dx, dy) band (see module docstring).
+    Covers at least the one-cell-ring neighborhood up to ``band_width``
+    candidates per (block, dx, dy) band (see module docstring). Squared
+    distances are recovered as score + |q|^2 (clamped at 0) — good to ~1e-6
+    relative of the operand magnitudes (f32 cancellation), which is below
+    every ICP gate.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -251,42 +299,35 @@ def nearest_banded(
     q = queries.shape[0]
     nx, ny, nz = grid.dims
     ncells = nx * ny * nz
-    mp = grid.planes.shape[1]
+    mp = grid.planes.shape[0] * 128
 
     cells = jnp.floor(queries / grid.cell_size).astype(jnp.int32) - jnp.asarray(
         grid.origin, jnp.int32
     )
-    # Clamp into the grid so linear ids are valid; the kernel's true-coord
-    # mask keeps out-of-grid queries unmatched.
+    # Clamp into the grid so linear ids are valid; out-of-grid queries then
+    # search the nearest boundary cells — and get a genuinely large distance.
     cells_cl = jnp.clip(cells, 0, jnp.asarray(grid.dims, jnp.int32) - 1)
     lin = (cells_cl[:, 0] * ny + cells_cl[:, 1]) * nz + cells_cl[:, 2]
-    order = jnp.argsort(lin)
-    lin_s = lin[order]
-    q_s = queries[order]
-    cells_s = cells[order].astype(f32)
+    # ONE multi-operand sort carries the coordinates and original positions
+    # with the keys — separate q[order]/take gathers cost more than the
+    # whole kernel at 500k (random gathers ~7 ns/element on TPU).
+    iota_q = jnp.arange(q, dtype=jnp.int32)
+    lin_s, qx_s, qy_s, qz_s, order = jax.lax.sort(
+        (lin, queries[:, 0], queries[:, 1], queries[:, 2], iota_q), num_keys=1
+    )
 
     qp = _ceil_div(q, QB) * QB
     pad = qp - q
+    zq = jnp.zeros(q, f32)
     qplanes = jnp.stack(
-        [
-            q_s[:, 0],
-            q_s[:, 1],
-            q_s[:, 2],
-            cells_s[:, 0],
-            cells_s[:, 1],
-            cells_s[:, 2],
-        ],
+        [qx_s, qy_s, qz_s, jnp.ones(q, f32), zq, zq, zq, zq],
         axis=0,
-    )
+    )  # (8, Q)
     qplanes = jnp.pad(qplanes, ((0, 0), (0, pad)))
-    if pad:
-        qplanes = qplanes.at[3:6, q:].set(-1e9)  # never matches any cell
     nblocks = qp // QB
-    # (6, nblocks, 16, 8) -> (nblocks, 6, 8, 16): query index g*8 + s lives
-    # at [blk, :, s, g] — 8 queries along sublanes per lane group.
-    qblocks = qplanes.reshape(6, nblocks, 16, 8).transpose(1, 0, 3, 2)
+    qblocks = qplanes.reshape(8, nblocks, QB).transpose(1, 0, 2)
 
-    # Per-block cell-id range -> 9 band starts.
+    # Per-block cell-id range -> NBANDS band starts, one per (dx, dy).
     lin_pad = jnp.pad(lin_s, (0, pad), constant_values=ncells - 1)
     l0 = lin_pad.reshape(nblocks, QB)[:, 0]
     offs = jnp.asarray(
@@ -294,7 +335,7 @@ def nearest_banded(
         jnp.int32,
     )
     lo_ids = jnp.clip(l0[:, None] + offs[None, :] - 1, 0, ncells)
-    bstarts = jnp.take(grid.starts, lo_ids)  # (nblocks, 9)
+    bstarts = jnp.take(grid.starts, lo_ids)  # (nblocks, NBANDS)
     # HBM->VMEM DMA lane offsets must be 128-aligned: round starts DOWN to a
     # tile boundary (coverage only grows; the fixed width loses < 128 of
     # tail, part of the documented truncation cap).
@@ -307,29 +348,115 @@ def nearest_banded(
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(
-                (1, 6, 8, 16), lambda i, bs: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, 8, QB), lambda i, bs: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2, 8, 16), lambda i, bs: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, 2, QB, 1), lambda i, bs: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, NPLANES, band_width), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.VMEM(
+                (2, NBANDS, band_width // 128, NPLANES, 128), jnp.float32
+            ),
+            pltpu.SemaphoreType.DMA((2, NBANDS)),
         ],
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nblocks, 2, 8, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblocks, 2, QB, 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(bstarts, qblocks, grid.planes)
 
-    # (nblocks, 2, 8, 16) -> (2, qp) in sorted-query order.
-    flat = out.transpose(1, 0, 3, 2).reshape(2, qp)
-    best_sq = flat[0, :q]
-    best_idx = flat[1, :q].astype(jnp.int32)
-    # Un-sort back to caller order.
-    inv = jnp.zeros(q, jnp.int32).at[order].set(jnp.arange(q, dtype=jnp.int32))
-    return jnp.take(best_idx, inv), jnp.take(best_sq, inv)
+    flat = out.transpose(1, 0, 2, 3).reshape(2, qp)
+    qsq = qx_s * qx_s + qy_s * qy_s + qz_s * qz_s
+    best_sq = jnp.maximum(flat[0, :q] + qsq, 0.0)
+    pos = jnp.clip(flat[1, :q].astype(jnp.int32), 0, mp - 1)
+    best_idx = jnp.take(grid.orig_idx, pos)
+    # Un-sort back to caller order: scatter by the sorted-order payload.
+    out_idx = jnp.zeros(q, jnp.int32).at[order].set(best_idx)
+    out_sq = jnp.zeros(q, f32).at[order].set(best_sq)
+    return out_idx, out_sq
+
+
+@partial(jax.jit, static_argnames=("band_width", "interpret"))
+def associate_p2p(
+    grid: SortedGrid,
+    lin_s: Array,  # (Q,) i32 query cell ids, ALREADY sorted ascending
+    qx_s: Array,  # (Q,) f32 query coords in the same sorted order
+    qy_s: Array,
+    qz_s: Array,
+    band_width: int = 512,
+    interpret: bool | None = None,
+) -> tuple[Array, Array, Array, Array, Array]:
+    """Point-to-plane association: per sorted query, the nearest DB point's
+    (sq_distance, nx, ny, nz, pos.n) — everything the point-to-plane GN step
+    needs, in ONE kernel pass with no index gather and no un-sort (the GN
+    reduction is order-independent, so callers keep working in sorted order).
+
+    Requires a grid built with ``normals`` (payload rows populated). Returns
+    arrays in the given sorted-query order.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    q = lin_s.shape[0]
+    nx, ny, nz = grid.dims
+    ncells = nx * ny * nz
+    mp = grid.planes.shape[0] * 128
+
+    qp = _ceil_div(q, QB) * QB
+    pad = qp - q
+    zq = jnp.zeros(q, f32)
+    qplanes = jnp.stack(
+        [qx_s, qy_s, qz_s, jnp.ones(q, f32), zq, zq, zq, zq], axis=0
+    )
+    qplanes = jnp.pad(qplanes, ((0, 0), (0, pad)))
+    nblocks = qp // QB
+    qblocks = qplanes.reshape(8, nblocks, QB).transpose(1, 0, 2)
+
+    lin_pad = jnp.pad(lin_s, (0, pad), constant_values=ncells - 1)
+    # Anchor on the block MINIMUM (not the first element) so callers reusing
+    # a slightly-stale sort order stay covered.
+    l0 = jnp.min(lin_pad.reshape(nblocks, QB), axis=1)
+    offs = jnp.asarray(
+        [(dx * ny + dy) * nz for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        jnp.int32,
+    )
+    lo_ids = jnp.clip(l0[:, None] + offs[None, :] - 1, 0, ncells)
+    bstarts = jnp.take(grid.starts, lo_ids)
+    bstarts = (bstarts // 128) * 128
+    bstarts = jnp.clip(bstarts, 0, max(mp - band_width, 0)).reshape(-1)
+
+    kernel = functools.partial(_nn_kernel, band_width=band_width, payload=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, QB), lambda i, bs: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 6, QB, 1), lambda i, bs: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, NBANDS, band_width // 128, NPLANES, 128), jnp.float32
+            ),
+            pltpu.SemaphoreType.DMA((2, NBANDS)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblocks, 6, QB, 1), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bstarts, qblocks, grid.planes)
+
+    flat = out.transpose(1, 0, 2, 3).reshape(6, qp)[:, :q]
+    qsq = qx_s * qx_s + qy_s * qy_s + qz_s * qz_s
+    sq = jnp.maximum(flat[0] + qsq, 0.0)
+    return sq, flat[2], flat[3], flat[4], flat[5]

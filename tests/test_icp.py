@@ -191,3 +191,37 @@ def test_default_tpu_large_rotation_coarse_exact():
     result = MultiscaleAlign(params, target).align(source)
     err = TransformMetrics.new(result, gt)
     assert abs(float(err.angle)) < 0.01, float(err.angle)
+
+
+def test_pcl_icp_align_banded_engine(sample1_dataset):
+    """The banded Pallas NN engine (sorted-space point-to-plane payload
+    association, interpret mode on CPU) meets the same reference bound and
+    stays close to the hash-engine result."""
+    ri0 = build_range_image(sample1_dataset.get(0))
+    ri1 = build_range_image(sample1_dataset.get(1))
+    gt = sample1_dataset.trajectory().get_relative_transform(1, 0)
+
+    n0 = ri0.height * ri0.width
+    tp = ri0.points.reshape(n0, 3)[np.asarray(ri0.mask).reshape(-1)]
+    tn = ri0.normals.reshape(n0, 3)[np.asarray(ri0.mask).reshape(-1)]
+    mask1 = np.asarray(ri1.mask).reshape(-1)
+    sp = ri1.points.reshape(-1, 3)[mask1]
+    sn = ri1.normals.reshape(-1, 3)[mask1]
+
+    # Subsample for interpret-mode speed; the bound is the reference's.
+    tp, tn = tp[::4], tn[::4]
+    sp, sn = sp[::4], sn[::4]
+
+    banded = Icp(
+        IcpParams(max_iterations=5), target_points=tp, target_normals=tn,
+        nn_engine="banded",
+    ).align(sp, sn)
+    angle_banded = abs(float(TransformMetrics.new(banded, gt).angle))
+    assert angle_banded < 0.1, angle_banded
+
+    hash_t = Icp(
+        IcpParams(max_iterations=5), target_points=tp, target_normals=tn,
+        nn_engine="hash",
+    ).align(sp, sn)
+    rel = abs(float(TransformMetrics.new(banded, hash_t).angle))
+    assert rel < 0.02, rel
