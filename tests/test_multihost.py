@@ -46,3 +46,25 @@ def test_initialize_noop_single_process():
 
     arr = multihost.host_local_batch(mesh, np.zeros((mesh.devices.size, 3)))
     assert arr.shape == (mesh.devices.size, 3)
+
+
+@pytest.mark.slow
+def test_fault_abort_resume():
+    """Failure-recovery drill: worker 1 aborts after the first half; fresh
+    processes resume from the checkpoint and the stitched trajectory matches
+    the uninterrupted single-process run (SURVEY §5 failure handling)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "run_multiprocess.py"),
+            "--fault",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=840,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "RESUME OK" in proc.stdout, proc.stdout
