@@ -113,3 +113,20 @@ def test_geoviewer_orbit_writes_pngs(tmp_path):
     for p in paths:
         im = Image.open(p)
         assert im.size == (64, 48)
+
+
+def test_packed_color_u8():
+    """Reference golden: ColorU8::new(255, 155, 55) packs to 0xRRGGBB
+    (src/viz/geometry/datatypes.rs:92-98)."""
+    import numpy as np
+
+    from align3d_tpu.viz.datatypes import pack_color_u8, unpack_color_u8
+
+    packed = pack_color_u8(np.array([255, 155, 55], np.uint8))
+    assert (packed >> 16) & 0xFF == 255
+    assert (packed >> 8) & 0xFF == 155
+    assert packed & 0xFF == 55
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(unpack_color_u8(pack_color_u8(rgb)), rgb)
