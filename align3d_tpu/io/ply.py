@@ -64,7 +64,7 @@ def read_ply(filepath) -> Geometry:
             if tok[1] == "list":
                 elements[-1][2].append((tok[4], "list", tok[2], tok[3]))
             else:
-                elements[-1][2].append((tok[3], "scalar", tok[1]))
+                elements[-1][2].append((tok[2], "scalar", tok[1]))
 
     points = normals = colors = faces = None
     offset = 0
@@ -111,22 +111,41 @@ def read_ply(filepath) -> Geometry:
                 cnt_dt, idx_dt = props[0][2], props[0][3]
                 cnt_size = int(_DTYPES[cnt_dt][1])
                 idx_size = int(_DTYPES[idx_dt][1])
-                for _ in range(count):
-                    n = int(
-                        np.frombuffer(
-                            body, dtype=endian + _DTYPES[cnt_dt], count=1, offset=offset
-                        )[0]
-                    )
-                    offset += cnt_size
-                    idx = np.frombuffer(
-                        body, dtype=endian + _DTYPES[idx_dt], count=n, offset=offset
-                    )
-                    offset += idx_size * n
-                    rows.append([int(i) for i in idx])
-            for r in rows:
-                if len(r) != 3:
-                    raise PlyError("only triangular faces are supported")
-            faces = np.asarray(rows, dtype=np.int64)
+                # Fast path: every face a triangle (the only layout the
+                # reference accepts anyway) -> one fixed-stride structured
+                # read instead of a per-face Python loop.
+                tri_dt = np.dtype(
+                    [
+                        ("n", endian + _DTYPES[cnt_dt]),
+                        ("idx", endian + _DTYPES[idx_dt], (3,)),
+                    ]
+                )
+                if count > 0 and offset + tri_dt.itemsize * count <= len(body):
+                    tri = np.frombuffer(body, dtype=tri_dt, count=count, offset=offset)
+                    if bool(np.all(tri["n"] == 3)):
+                        rows = tri["idx"].astype(np.int64)
+                        offset += tri_dt.itemsize * count
+                if not len(rows):
+                    for _ in range(count):
+                        n = int(
+                            np.frombuffer(
+                                body, dtype=endian + _DTYPES[cnt_dt], count=1,
+                                offset=offset,
+                            )[0]
+                        )
+                        offset += cnt_size
+                        idx = np.frombuffer(
+                            body, dtype=endian + _DTYPES[idx_dt], count=n, offset=offset
+                        )
+                        offset += idx_size * n
+                        rows.append([int(i) for i in idx])
+            if isinstance(rows, np.ndarray):
+                faces = rows  # fast path already validated n == 3
+            else:
+                for r in rows:
+                    if len(r) != 3:
+                        raise PlyError("only triangular faces are supported")
+                faces = np.asarray(rows, dtype=np.int64)
         else:
             raise PlyError(f"Unexpected element {name}")
 
@@ -135,11 +154,9 @@ def read_ply(filepath) -> Geometry:
     return Geometry(points=points, normals=normals, colors=colors, faces=faces)
 
 
-def write_ply(filepath, geom: Geometry) -> None:
-    """ASCII PLY writer matching the reference's layout (ply.rs:144-236)."""
-    n = geom.len_vertices()
-    lines = ["ply", "format ascii 1.0"]
-    lines.append(f"element vertex {n}")
+def _header(geom: Geometry, fmt: str) -> list[str]:
+    lines = ["ply", f"format {fmt} 1.0"]
+    lines.append(f"element vertex {geom.len_vertices()}")
     lines += [f"property float {k}" for k in ("x", "y", "z")]
     if geom.normals is not None:
         lines += [f"property float {k}" for k in ("nx", "ny", "nz")]
@@ -149,17 +166,62 @@ def write_ply(filepath, geom: Geometry) -> None:
         lines.append(f"element face {geom.len_faces()}")
         lines.append("property list uchar int vertex_indices")
     lines.append("end_header")
+    return lines
 
+
+def write_ply(filepath, geom: Geometry, binary: bool = False) -> None:
+    """PLY writer matching the reference's element layout (ply.rs:144-236).
+
+    ASCII by default like the reference; ``binary=True`` writes
+    binary_little_endian (beyond reference — the fast path for large
+    clouds; :func:`read_ply` and standard tools read it back).
+    """
+    n = geom.len_vertices()
     pts = np.asarray(geom.points, np.float32)
     nrm = None if geom.normals is None else np.asarray(geom.normals, np.float32)
     col = None if geom.colors is None else np.asarray(geom.colors, np.uint8)
-    for i in range(n):
-        row = [f"{pts[i, 0]} {pts[i, 1]} {pts[i, 2]}"]
+
+    if binary:
+        fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
         if nrm is not None:
-            row.append(f"{nrm[i, 0]} {nrm[i, 1]} {nrm[i, 2]}")
+            fields += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
         if col is not None:
-            row.append(f"{col[i, 0]} {col[i, 1]} {col[i, 2]}")
-        lines.append(" ".join(row))
+            fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+        vert = np.zeros(n, dtype=np.dtype(fields))
+        vert["x"], vert["y"], vert["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+        if nrm is not None:
+            vert["nx"], vert["ny"], vert["nz"] = nrm[:, 0], nrm[:, 1], nrm[:, 2]
+        if col is not None:
+            vert["red"], vert["green"], vert["blue"] = (
+                col[:, 0], col[:, 1], col[:, 2],
+            )
+        with open(filepath, "wb") as fh:
+            fh.write(
+                ("\n".join(_header(geom, "binary_little_endian")) + "\n").encode()
+            )
+            fh.write(vert.tobytes())
+            if geom.faces is not None:
+                f = np.asarray(geom.faces, np.int64)
+                tri = np.zeros(
+                    f.shape[0], dtype=np.dtype([("n", "u1"), ("idx", "<i4", (3,))])
+                )
+                tri["n"] = 3
+                tri["idx"] = f.astype(np.int32)
+                fh.write(tri.tobytes())
+        return
+
+    lines = _header(geom, "ascii")
+    # Vectorized row formatting (a per-row Python loop dominated writes of
+    # large clouds).
+    cols = [pts]
+    if nrm is not None:
+        cols.append(nrm)
+    body = np.concatenate(cols, axis=1) if len(cols) > 1 else pts
+    rows = [" ".join(str(v) for v in row) for row in body]  # f32 shortest repr
+    if col is not None:
+        crows = [" ".join(str(int(v)) for v in row) for row in col]
+        rows = [f"{a} {c}" for a, c in zip(rows, crows)]
+    lines += rows
     if geom.faces is not None:
         for f in np.asarray(geom.faces):
             lines.append(f"3 {f[0]} {f[1]} {f[2]}")

@@ -54,3 +54,51 @@ def test_teapot_fixture():
     )
     assert vn.shape == (geo.points.shape[0], 3)
     assert np.isfinite(vn[np.unique(geo.faces.ravel())]).all()
+
+
+def test_ply_binary_write_roundtrip(tmp_path):
+    """Binary LE writer (beyond reference) round-trips exactly, including the
+    vectorized fixed-stride triangle fast path in the reader."""
+    import numpy as np
+
+    from align3d_tpu.io.geometry import Geometry
+    from align3d_tpu.io.ply import read_ply, write_ply
+
+    rng = np.random.default_rng(0)
+    n, m = 5000, 3000
+    geom = Geometry(
+        points=rng.normal(size=(n, 3)).astype(np.float32),
+        normals=rng.normal(size=(n, 3)).astype(np.float32),
+        colors=rng.integers(0, 256, (n, 3)).astype(np.uint8),
+        faces=rng.integers(0, n, (m, 3)).astype(np.int64),
+    )
+    path = tmp_path / "cloud.ply"
+    write_ply(path, geom, binary=True)
+    back = read_ply(path)
+    np.testing.assert_array_equal(back.points, geom.points)
+    np.testing.assert_array_equal(back.normals, geom.normals)
+    np.testing.assert_array_equal(back.colors, geom.colors)
+    np.testing.assert_array_equal(back.faces, geom.faces)
+
+
+def test_ply_ascii_teapot_roundtrip(tmp_path):
+    """Read the reference's ASCII teapot.ply; write ASCII; read back equal.
+
+    (Round-3 note: this coverage exposed a header-parse bug — scalar
+    property names were read from the wrong token — so read_ply had never
+    worked on standard files. Pinned here for good.)"""
+    import numpy as np
+
+    from align3d_tpu.io.ply import read_ply, write_ply
+
+    geom = read_ply("/root/reference/tests/data/teapot.ply")
+    assert geom.points.shape == (480, 3)
+    assert geom.normals is not None and geom.normals.shape == (480, 3)
+    assert geom.faces is not None and geom.faces.shape == (880, 3)
+
+    path = tmp_path / "teapot2.ply"
+    write_ply(path, geom)
+    back = read_ply(path)
+    np.testing.assert_allclose(back.points, geom.points, rtol=1e-6)
+    np.testing.assert_allclose(back.normals, geom.normals, rtol=1e-6)
+    np.testing.assert_array_equal(back.faces, geom.faces)
