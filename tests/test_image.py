@@ -49,3 +49,24 @@ def test_huber_weight_values():
     w = np.asarray(huber_weight(r, 1.0))
     # |r| <= delta -> 1; else delta/|r| (robust_estimator.rs:20-27).
     np.testing.assert_allclose(w, [1.0, 1.0, 1.0, 0.5, 0.25], rtol=1e-6)
+
+
+def test_py_scale_down_fast_path_matches_reference_path():
+    """The fused planar blur+decimate matmul == blur-then-slice (interior
+    exact; border columns may differ by 1 u8 step from f32 weight
+    pre-summation at the clipped taps)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from align3d_tpu.image import _decimate2, gaussian_blur, py_scale_down
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 256, (64, 96, 3)).astype(np.uint8))
+    fast = np.asarray(py_scale_down(img, 1.0)).astype(np.int64)
+    ref = np.asarray(
+        jnp.clip(_decimate2(gaussian_blur(img, 1.0), 32, 48), 0.0, 255.0).astype(
+            jnp.uint8
+        )
+    ).astype(np.int64)
+    assert np.abs(fast - ref).max() <= 1
+    np.testing.assert_array_equal(fast[2:-2, 2:-2], ref[2:-2, 2:-2])
