@@ -13,7 +13,7 @@ sys.path.insert(0, ".")
 from benches._harness import emit, log, marginal_ms, setup_jax  # noqa: E402
 
 H, W = 480, 640
-NFRAMES = 9  # 8 adjacent pairs per step
+NFRAMES = int(__import__("os").environ.get("ODO_NFRAMES", "9"))  # pairs = NFRAMES-1
 
 
 def main() -> int:
@@ -95,13 +95,15 @@ def main() -> int:
         rot, trans = pipeline(colors, depths, init, with_bilateral=True)
         return acc + jnp.sum(trans[-1])
 
-    ms = marginal_ms(step, jnp.float32(0.0), lo=1, hi=4, calls=3)
+    # lo>=3: XLA fully unrolls trip<=2 fori loops and its optimizer can
+    # take minutes on the flattened 3-level align body (see bench.py note).
+    ms = marginal_ms(step, jnp.float32(0.0), lo=3, hi=6, calls=3)
     ms_per_frame = ms / b
     log(
         f"odometry e2e: {ms:.2f} ms per {b}-pair step "
         f"({ms_per_frame:.3f} ms/frame, {1000.0 / ms_per_frame:.0f} frames/s/chip)"
     )
-    ms_b = marginal_ms(step_bilateral, jnp.float32(0.0), lo=1, hi=4, calls=3)
+    ms_b = marginal_ms(step_bilateral, jnp.float32(0.0), lo=3, hi=6, calls=3)
     ms_b_frame = ms_b / b
     log(
         f"odometry e2e + bilateral (gd={gd_static}): {ms_b:.2f} ms per "
