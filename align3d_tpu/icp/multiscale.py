@@ -32,7 +32,9 @@ class MultiscaleAlign:
 
         ``initial_transform`` seeds the coarsest level (used by loop-closure
         measurement, which starts from the odometry estimate)."""
-        optim_transform = initial_transform or Transform.identity()
+        optim_transform = (
+            initial_transform if initial_transform is not None else Transform.identity()
+        )
         for params, target, source in reversed(
             list(zip(self.params, self.target_pyramid, source_pyramid))
         ):

@@ -28,7 +28,7 @@ class IcpParams:
     huber_delta: float | None = None
     # Compute engine: "xla" = exact projective association via packed XLA
     # gathers (works for any displacement); "pallas" = fused banded-gather
-    # TPU kernel (align3d_tpu/ops/icp_pallas.py) — ~5x faster per iteration,
+    # TPU kernel (align3d_tpu/ops/icp_pallas_v3.py) — ~30x faster per iteration,
     # association limited to a tracked displacement band, so use it on fine
     # pyramid levels where coarse levels have already removed bulk motion.
     engine: str = "xla"

@@ -2,15 +2,24 @@
 
 Counterpart of the reference ``src/mesh.rs:4-52``: per-face cross-product
 normals (normalized unless degenerate), averaged into vertex normals by the
-number of incident faces.  The reference's scatter loop becomes
-``jax.ops.segment_sum`` over the face-index axis, which XLA lowers to a
-sorted segmented reduction — batchable and differentiable.
+number of incident faces.  Two forms:
+
+* :func:`compute_vertex_normals` — one-shot, fully traced: the reference's
+  scatter loop becomes ``jax.ops.segment_sum`` (correct anywhere, but XLA's
+  TPU scatter is the slowest op in the repo's bench table);
+* :class:`MeshNormals` — cached-topology evaluator: the incidence structure
+  is precomputed ONCE on host into a fixed-degree (N, D) gather table, and
+  every evaluation is then D gathers + a masked fold — no scatter at all.
+  This is the TPU-native shape for the common case (static mesh topology,
+  moving vertices), the same build-once/query-many structure as
+  ``ops.nn_banded.SortedGrid``.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -49,3 +58,38 @@ def compute_vertex_normals(points: Array, faces: Array) -> Array:
         jnp.ones_like(idx, dtype=jnp.float32), idx, num_segments=n_vertices
     )
     return sums / counts[:, None]
+
+
+class MeshNormals:
+    """Vertex-normal evaluator with host-precomputed incidence (see module
+    docstring). Semantics identical to :func:`compute_vertex_normals` /
+    reference mesh.rs:30-49 — mean of incident unit face normals, summed in
+    face order, NaN for isolated vertices (0/0)."""
+
+    def __init__(self, faces, n_vertices: int):
+        f = np.asarray(faces, dtype=np.int64).reshape(-1)  # corners, face-major
+        n_faces = f.size // 3
+        corner_face = np.arange(f.size, dtype=np.int64) // 3
+        order = np.argsort(f, kind="stable")  # per-vertex groups, face order
+        fs = f[order]
+        counts = np.bincount(f, minlength=n_vertices)
+        degree = int(counts.max()) if counts.size else 1
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(f.size, dtype=np.int64) - starts[fs]
+        table = np.full((n_vertices, max(degree, 1)), n_faces, dtype=np.int32)
+        table[fs, rank] = corner_face[order]
+        self.n_vertices = n_vertices
+        self.degree = degree
+        self.faces = jnp.asarray(np.asarray(faces, dtype=np.int32).reshape(-1, 3))
+        self.table = jnp.asarray(table)  # (N, D), padded with n_faces
+        self.counts = jnp.asarray(counts.astype(np.float32))
+
+    def __call__(self, points: Array) -> Array:
+        fn = face_normals(points, self.faces)
+        fn_pad = jnp.concatenate(
+            [fn, jnp.zeros((1, 3), fn.dtype)], axis=0
+        )  # padding slot contributes exact zeros
+        acc = jnp.take(fn_pad, self.table[:, 0], axis=0)
+        for d in range(1, self.table.shape[1]):  # left fold = face order
+            acc = acc + jnp.take(fn_pad, self.table[:, d], axis=0)
+        return acc / self.counts[:, None]

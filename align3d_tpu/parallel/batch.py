@@ -100,12 +100,11 @@ def multiscale_align_batched(
     ):
         sp, sm, si, _, _ = _flatten_level(source)
         tp, tm, _, tn, tim = _flatten_level(target)
-        if level_params.engine in ("pallas", "pallas_v2", "pallas_v4"):
+        if level_params.engine in ("pallas", "pallas_v4"):
             from align3d_tpu.icp import image_icp as ii
 
             batched = {
                 "pallas": ii.align_impl_pallas_v3_batched,
-                "pallas_v2": ii.align_impl_pallas_batched,
                 "pallas_v4": ii.align_impl_pallas_v4_batched,
             }[level_params.engine]
             rot, trans, _ = batched(

@@ -90,18 +90,42 @@ def propose_loop_closures(
     min_separation: int = 10,
     max_translation: float = 0.5,
     max_candidates: int = 32,
+    row_chunk: int = 256,
 ) -> np.ndarray:
     """Pose-distance loop-closure candidates: frame pairs far in time but
     near in space, RANKED by spatial distance (closest first) so truncation
     to ``max_candidates`` keeps the most promising pairs rather than the
-    earliest frames. Returns (K, 2) int array (host side)."""
+    earliest frames. Returns (K, 2) int array (host side).
+
+    Memory is O(row_chunk * N + nchunks * K), never the dense (N, N)
+    pose-distance matrix: rows are scanned in chunks and each chunk is
+    pre-truncated to its own stable top-K — the global ranked top-K can
+    contain at most K entries from any one chunk, so the pre-truncation is
+    lossless and the output is bit-identical to the dense form (ties resolve
+    in row-major candidate order either way).
+    """
     t = np.asarray(traj.camera_to_world.translation)
     n = t.shape[0]
-    d = np.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)  # (N, N)
-    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-    ok = (jj > ii + min_separation) & (d < max_translation)
-    cand_i, cand_j = np.nonzero(ok)
-    order = np.argsort(d[cand_i, cand_j], kind="stable")[:max_candidates]
+    keep_i, keep_j, keep_d = [], [], []
+    for r0 in range(0, n, row_chunk):
+        r1 = min(r0 + row_chunk, n)
+        d = np.linalg.norm(t[r0:r1, None, :] - t[None, :, :], axis=-1)
+        ii, jj = np.meshgrid(np.arange(r0, r1), np.arange(n), indexing="ij")
+        ok = (jj > ii + min_separation) & (d < max_translation)
+        ci, cj = np.nonzero(ok)  # row-major within the chunk
+        dv = d[ci, cj]
+        if ci.size > max_candidates:
+            # Stable top-K, then restored to row-major order so the later
+            # global stable sort breaks ties exactly like the dense scan.
+            sel = np.sort(np.argsort(dv, kind="stable")[:max_candidates])
+            ci, cj, dv = ci[sel], cj[sel], dv[sel]
+        keep_i.append(ci + r0)
+        keep_j.append(cj)
+        keep_d.append(dv)
+    cand_i = np.concatenate(keep_i) if keep_i else np.zeros(0, np.int64)
+    cand_j = np.concatenate(keep_j) if keep_j else np.zeros(0, np.int64)
+    dist = np.concatenate(keep_d) if keep_d else np.zeros(0, np.float64)
+    order = np.argsort(dist, kind="stable")[:max_candidates]
     return np.stack(
         [cand_i[order], cand_j[order]], axis=1
     ).astype(np.int64).reshape(-1, 2)

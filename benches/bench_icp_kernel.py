@@ -1,8 +1,8 @@
-"""Microbenchmark for the fused ICP Pallas kernel (ops/icp_pallas.py).
+"""Microbenchmark for the fused ICP Pallas kernel (ops/icp_pallas_v3.py).
 
 Times, on the real chip, with the same chained-reps methodology as bench.py:
   * kernel-only: 10 chained icp_step_pallas_batched calls (no solve/glue)
-  * full align: align_impl_pallas_batched, 10 iterations
+  * full align: align_impl_pallas_v3_batched, 10 iterations
 for a configurable band radius, to separate kernel cost from GN glue and to
 measure association-band sensitivity. Diagnostics to stderr, one JSON line
 per measurement to stdout.
@@ -26,7 +26,7 @@ def log(*a):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--radius", type=int, default=2)
-    ap.add_argument("--engine", choices=["v2", "v3"], default="v2")
+    ap.add_argument("--engine", choices=["v3"], default="v3")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--skip-full", action="store_true")
@@ -43,14 +43,10 @@ def main() -> int:
     from align3d_tpu.icp.params import IcpParams
     from align3d_tpu.range_image import build_pyramid_impl
 
-    if args.engine == "v3":
-        from align3d_tpu.icp.image_icp import (
-            align_impl_pallas_v3_batched as align_impl_pallas_batched,
-        )
-        from align3d_tpu.ops import icp_pallas_v3 as icp_pallas
-    else:
-        from align3d_tpu.icp.image_icp import align_impl_pallas_batched
-        from align3d_tpu.ops import icp_pallas
+    from align3d_tpu.icp.image_icp import (
+        align_impl_pallas_v3_batched as align_impl_pallas_batched,
+    )
+    from align3d_tpu.ops import icp_pallas_v3 as icp_pallas
 
     H, W = 480, 640
     ITERS = args.iters
@@ -178,7 +174,7 @@ def main() -> int:
                 for _ in range(ITERS):
                     geo, col, stats = icp_pallas.icp_step_pallas_batched(
                         r, t, cb0, dyb0, dxb0, sp, tp, intr, H, W, pt,
-                        **({"emit_stats": False} if args.engine == "v3" else {}),
+                        emit_stats=False,
                     )
                     t = t + 1e-30 * geo[:, 7, 7, None]
                 return (r, t, acc + jnp.sum(geo[:, 7, 7]))

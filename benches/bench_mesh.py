@@ -12,7 +12,7 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from align3d_tpu.ops.mesh import compute_vertex_normals
+    from align3d_tpu.ops.mesh import MeshNormals, compute_vertex_normals
 
     rng = np.random.default_rng(0)
     side = 320  # (side+1)^2 vertices, 2*side^2 = 204800 faces
@@ -33,13 +33,27 @@ def main() -> int:
     pts_j = jnp.asarray(pts)
     faces_j = jnp.asarray(faces)
 
+    evaluator = MeshNormals(faces, pts.shape[0])
+    log(f"cached topology: max vertex degree {evaluator.degree}")
+
+    def step_cached(_, carry):
+        p, acc = carry
+        vn = evaluator(p)
+        return (p + 1e-12 * vn[0, 0], acc + jnp.sum(vn[0]))
+
+    ms = marginal_ms(step_cached, (pts_j, jnp.float32(0)), lo=10, hi=210)
+    log(f"mesh normals (MeshNormals, cached topology) {faces.shape[0]} faces: {ms:.3f} ms")
+
     def step(_, carry):
         p, acc = carry
         vn = compute_vertex_normals(p, faces_j)
         return (p + 1e-12 * vn[0, 0], acc + jnp.sum(vn[0]))
 
-    ms = marginal_ms(step, (pts_j, jnp.float32(0)), lo=10, hi=210)
-    log(f"mesh compute_normals {faces.shape[0]} faces: {ms:.3f} ms")
+    ms_scatter = marginal_ms(step, (pts_j, jnp.float32(0)), lo=10, hi=60)
+    log(
+        f"mesh normals (one-shot segment_sum) {faces.shape[0]} faces: "
+        f"{ms_scatter:.3f} ms"
+    )
     emit("mesh_normals_200k_faces_ms", ms, "ms", None)
     return 0
 

@@ -5,6 +5,11 @@ pose scan, ms per frame.
 The reference has no published e2e number (its README anchor times only the
 ICP align); this bench publishes ours — the "production serving" figure: how
 fast a capture streams through the whole pipeline on one chip.
+
+The HEADLINE series is 65 REAL fixture frames (sample1 + sample2 + a 3-frame
+wrap, i.e. a 64-pair step — the BASELINE config-3 batch on real depth holes /
+discontinuities / texture, same grounding bench.py got in r3); the synthetic
+slanted-plane series is kept as a secondary line for cross-round comparison.
 """
 
 import sys
@@ -16,17 +21,110 @@ H, W = 480, 640
 NFRAMES = int(__import__("os").environ.get("ODO_NFRAMES", "9"))  # pairs = NFRAMES-1
 
 
-def main() -> int:
-    setup_jax()
-    import jax
-    import jax.numpy as jnp
+def _real_frames():
+    """All sample1+sample2 frames + wrap -> (colors (65,H,W,3) u8,
+    depths (65,H,W) u16, intrinsics, depth_scale)."""
     import numpy as np
 
-    from align3d_tpu.camera import CameraIntrinsics
-    from align3d_tpu.icp.params import MsIcpParams
+    from align3d_tpu import config
+    from align3d_tpu.io.datasets.slamtb import SlamTbDataset
+
+    frames = []
+    for name in ("sample1", "sample2"):
+        ds = SlamTbDataset.load(config.ref_data_path("rgbd", name))
+        for i in range(len(ds)):
+            frames.append(ds.get(i))
+    frames = frames + frames[: 65 - len(frames)]  # wrap to 65 frames = 64 pairs
+    colors = np.stack([np.asarray(f.image.color) for f in frames])
+    depths = np.stack([np.asarray(f.image.depth) for f in frames])
+    return colors, depths, frames[0].camera, float(frames[0].image.depth_scale)
+
+
+def run_series(label, colors, depths, intr, depth_scale, params):
+    """Slope-timed e2e pipeline over one frame series; returns
+    (ms_per_frame, ms_per_frame_bilateral_on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from align3d_tpu.ops.bilateral import BilateralFilter
     from align3d_tpu.parallel import batch as pbatch
     from align3d_tpu.se3 import Transform
     from align3d_tpu.trajectory import accumulate_scan
+
+    colors = jnp.asarray(colors)
+    depths = jnp.asarray(depths)
+    b = colors.shape[0] - 1
+
+    # Bilateral variant: the full reference-README pipeline (README.md:44-113
+    # enables the filter for the published bedroom-20 anchor). The grid's
+    # range axis is sized for the series' actual depth span.
+    filt = BilateralFilter()
+    nz = jnp.where(depths > 0, depths, jnp.uint16(65535))
+    gd_static = (
+        int((int(depths.max()) - int(nz.min())) / filt.sigma_color) + 1 + 4
+    )
+
+    def pipeline(colors_in, depths_in, initial, with_bilateral=False):
+        if with_bilateral:
+            cmin = jnp.min(
+                jnp.where(depths_in > 0, depths_in, jnp.uint16(65535)),
+                axis=(1, 2),
+            )
+            depths_in = jax.vmap(
+                lambda d, cm: filt.filter_static(d, cm, gd_static)
+            )(depths_in, cmin)
+        pyr = pbatch.build_pyramids_batched(
+            intr, depth_scale, colors_in, depths_in, pyramid_levels=3
+        )
+        src = [jax.tree.map(lambda a: a[1:], ri) for ri in pyr]
+        tgt = [jax.tree.map(lambda a: a[:-1], ri) for ri in pyr]
+        rel = pbatch.multiscale_align_batched(tgt, src, params, initial=initial)
+        traj = accumulate_scan(rel)
+        return traj.camera_to_world.rotation, traj.camera_to_world.translation
+
+    def make_step(with_bilateral):
+        def step(_, carry):
+            acc = carry
+            init = Transform.identity((b,))
+            init = Transform(init.rotation, init.translation + 1e-12 * acc)
+            rot, trans = pipeline(colors, depths, init, with_bilateral)
+            return acc + jnp.sum(trans[-1])
+
+        return step
+
+    # lo>=3: XLA fully unrolls trip<=2 fori loops and its optimizer can
+    # take minutes on the flattened 3-level align body (see bench.py note).
+    ms = marginal_ms(make_step(False), jnp.float32(0.0), lo=3, hi=6, calls=3)
+    ms_per_frame = ms / b
+    log(
+        f"[{label}] odometry e2e: {ms:.2f} ms per {b}-pair step "
+        f"({ms_per_frame:.3f} ms/frame, {1000.0 / ms_per_frame:.0f} frames/s/chip)"
+    )
+    ms_b = marginal_ms(make_step(True), jnp.float32(0.0), lo=3, hi=6, calls=3)
+    ms_b_frame = ms_b / b
+    log(
+        f"[{label}] odometry e2e + bilateral (gd={gd_static}): {ms_b:.2f} ms per "
+        f"{b}-pair step ({ms_b_frame:.3f} ms/frame, "
+        f"{1000.0 / ms_b_frame:.0f} frames/s/chip)"
+    )
+    return ms_per_frame, ms_b_frame
+
+
+def main() -> int:
+    setup_jax()
+    import numpy as np
+
+    from align3d_tpu import config
+    from align3d_tpu.camera import CameraIntrinsics
+    from align3d_tpu.icp.params import MsIcpParams
+
+    engine = sys.argv[1] if len(sys.argv) > 1 else "pallas_v4"
+    params = (
+        MsIcpParams.default()
+        if engine == "xla"
+        else MsIcpParams.default_tpu(engine)
+    )
+    log(f"engine: {engine}; 3-level pyramid, iters 20/20/30")
 
     rng = np.random.default_rng(0)
     intr = CameraIntrinsics(
@@ -43,74 +141,20 @@ def main() -> int:
             for i in range(NFRAMES)
         ]
     )
-    colors = jnp.asarray(colors)
-    depths = jnp.asarray(depths)
-
-    engine = sys.argv[1] if len(sys.argv) > 1 else "pallas_v4"
-    params = (
-        MsIcpParams.default()
-        if engine == "xla"
-        else MsIcpParams.default_tpu(engine)
-    )
-    log(f"engine: {engine}; {NFRAMES} frames, 3-level pyramid, iters 20/20/30")
-
-    # Second variant: the full reference-README pipeline with the bilateral
-    # depth filter ON (README.md:44-113 enables it for the published
-    # bedroom-20 anchor). The grid's range axis is sized for this scene.
-    from align3d_tpu.ops.bilateral import BilateralFilter
-
-    filt = BilateralFilter()
-    gd_static = (
-        int((int(depths.max()) - int(depths.min())) / filt.sigma_color) + 1 + 4
+    ms_syn, _ = run_series(
+        f"synthetic {NFRAMES - 1} pairs", colors, depths, intr, 0.001, params
     )
 
-    def pipeline(colors_in, depths_in, initial, with_bilateral=False):
-        if with_bilateral:
-            cmin = jnp.min(depths_in, axis=(1, 2))
-            depths_in = jax.vmap(
-                lambda d, cm: filt.filter_static(d, cm, gd_static)
-            )(depths_in, cmin)
-        pyr = pbatch.build_pyramids_batched(
-            intr, 0.001, colors_in, depths_in, pyramid_levels=3
+    ms_frame = ms_syn
+    if config.has_ref_data():
+        rc, rd, rintr, rscale = _real_frames()
+        ms_frame, _ = run_series(
+            "real 64 pairs", rc, rd, rintr, rscale, params
         )
-        src = [jax.tree.map(lambda a: a[1:], ri) for ri in pyr]
-        tgt = [jax.tree.map(lambda a: a[:-1], ri) for ri in pyr]
-        rel = pbatch.multiscale_align_batched(tgt, src, params, initial=initial)
-        traj = accumulate_scan(rel)
-        return traj.camera_to_world.rotation, traj.camera_to_world.translation
+    else:
+        log("reference fixtures unavailable; headline falls back to synthetic")
 
-    b = NFRAMES - 1
-
-    def step(_, carry):
-        acc = carry
-        init = Transform.identity((b,))
-        init = Transform(init.rotation, init.translation + 1e-12 * acc)
-        rot, trans = pipeline(colors, depths, init)
-        return acc + jnp.sum(trans[-1])
-
-    def step_bilateral(_, carry):
-        acc = carry
-        init = Transform.identity((b,))
-        init = Transform(init.rotation, init.translation + 1e-12 * acc)
-        rot, trans = pipeline(colors, depths, init, with_bilateral=True)
-        return acc + jnp.sum(trans[-1])
-
-    # lo>=3: XLA fully unrolls trip<=2 fori loops and its optimizer can
-    # take minutes on the flattened 3-level align body (see bench.py note).
-    ms = marginal_ms(step, jnp.float32(0.0), lo=3, hi=6, calls=3)
-    ms_per_frame = ms / b
-    log(
-        f"odometry e2e: {ms:.2f} ms per {b}-pair step "
-        f"({ms_per_frame:.3f} ms/frame, {1000.0 / ms_per_frame:.0f} frames/s/chip)"
-    )
-    ms_b = marginal_ms(step_bilateral, jnp.float32(0.0), lo=3, hi=6, calls=3)
-    ms_b_frame = ms_b / b
-    log(
-        f"odometry e2e + bilateral (gd={gd_static}): {ms_b:.2f} ms per "
-        f"{b}-pair step ({ms_b_frame:.3f} ms/frame, "
-        f"{1000.0 / ms_b_frame:.0f} frames/s/chip)"
-    )
-    emit("odometry_e2e_640x480_ms_per_frame", ms_per_frame, "ms", None)
+    emit("odometry_e2e_640x480_ms_per_frame", ms_frame, "ms", None)
     return 0
 
 

@@ -56,6 +56,35 @@ def test_teapot_fixture():
     assert np.isfinite(vn[np.unique(geo.faces.ravel())]).all()
 
 
+def test_mesh_normals_cached_matches_oneshot():
+    """MeshNormals (precomputed gather table) == segment_sum path, including
+    NaN on isolated vertices and shared-ridge averaging."""
+    from align3d_tpu.ops.mesh import MeshNormals
+
+    rng = np.random.default_rng(1)
+    n, m = 500, 900
+    pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, n - 10, (m, 3)).astype(np.int32))
+    # vertices n-10..n-1 are isolated -> NaN in both paths
+    ref = np.asarray(compute_vertex_normals(pts, faces))
+    got = np.asarray(MeshNormals(faces, n)(pts))
+    assert np.isnan(ref[-10:]).all() and np.isnan(got[-10:]).all()
+    np.testing.assert_allclose(got[:-10], ref[:-10], atol=2e-6)
+
+
+def test_mesh_normals_cached_teapot():
+    from align3d_tpu.io.off import read_off
+    from align3d_tpu.ops.mesh import MeshNormals
+
+    geo = read_off("/root/reference/tests/data/teapot.off")
+    pts = jnp.asarray(geo.points)
+    faces = jnp.asarray(geo.faces.astype(np.int32))
+    ref = np.asarray(compute_vertex_normals(pts, faces))
+    got = np.asarray(MeshNormals(faces, pts.shape[0])(pts))
+    mask = ~np.isnan(ref).any(axis=1)
+    np.testing.assert_allclose(got[mask], ref[mask], atol=2e-6)
+
+
 def test_ply_binary_write_roundtrip(tmp_path):
     """Binary LE writer (beyond reference) round-trips exactly, including the
     vectorized fixed-stride triangle fast path in the reader."""

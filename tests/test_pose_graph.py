@@ -111,6 +111,59 @@ def test_propose_loop_closures():
     assert len(cands) > 0
 
 
+def _dense_propose(traj, min_separation, max_translation, max_candidates):
+    """The r2/r3 dense (N, N) reference form, kept as the test oracle."""
+    t = np.asarray(traj.camera_to_world.translation)
+    n = t.shape[0]
+    d = np.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ok = (jj > ii + min_separation) & (d < max_translation)
+    ci, cj = np.nonzero(ok)
+    order = np.argsort(d[ci, cj], kind="stable")[:max_candidates]
+    return np.stack([ci[order], cj[order]], axis=1).astype(np.int64)
+
+
+def test_propose_chunked_matches_dense():
+    """The O(N*chunk)-memory chunked scan returns the dense scan's ranked
+    output bit-for-bit, including distance ties (tiny row_chunk forces many
+    chunks; duplicated poses force cross-chunk ties)."""
+    rng = np.random.default_rng(3)
+    n = 400
+    t = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    t[37] = t[350]  # exact revisit -> distance-0 tie
+    t[38] = t[351]
+    poses = Transform(
+        jnp.broadcast_to(jnp.eye(3), (n, 3, 3)), jnp.asarray(t)
+    )
+    traj = Trajectory(poses, jnp.arange(n, dtype=jnp.float32))
+    for k in (8, 32):
+        dense = _dense_propose(traj, 10, 0.6, k)
+        chunked = pg.propose_loop_closures(
+            traj, min_separation=10, max_translation=0.6,
+            max_candidates=k, row_chunk=23,
+        )
+        np.testing.assert_array_equal(chunked, dense)
+
+
+def test_propose_scales_without_dense_matrix():
+    """10k poses: the proposal runs in O(N*chunk) memory (a dense f64
+    (N, N) would be 800 MB) and still returns the ranked nearest pairs."""
+    rng = np.random.default_rng(5)
+    n = 10_000
+    # Random walk that revisits the origin at the end.
+    steps = rng.normal(0, 0.05, (n, 3))
+    t = np.cumsum(steps, axis=0).astype(np.float32)
+    t[-1] = t[0] + 1e-4
+    poses = Transform(jnp.broadcast_to(jnp.eye(3), (n, 3, 3)), jnp.asarray(t))
+    traj = Trajectory(poses, jnp.arange(n, dtype=jnp.float32))
+    cands = pg.propose_loop_closures(
+        traj, min_separation=100, max_translation=0.05, max_candidates=16
+    )
+    assert len(cands) == 16
+    # The engineered revisit is the closest pair.
+    assert tuple(cands[0]) == (0, n - 1)
+
+
 def test_cg_matches_dense():
     """Block-COO + block-Jacobi PCG == the dense Cholesky path (small graph,
     both solvers forced)."""

@@ -19,10 +19,16 @@ def main() -> int:
     batch = int(args[0]) if args and not args[0].startswith("--") else 2
     fori = 0
     cache = None
+    fuzz = 0.0
     if "--fori" in args:
         fori = int(args[args.index("--fori") + 1])
     if "--cache" in args:
         cache = args[args.index("--cache") + 1]
+    if "--fuzz" in args:
+        # Perturb fx by a unique epsilon so the program hash is fresh: the
+        # remote Mosaic compile server caches by hash, so repeat probes of an
+        # identical program measure cache hits, not compiles.
+        fuzz = float(args[args.index("--fuzz") + 1])
 
     import jax
 
@@ -42,7 +48,7 @@ def main() -> int:
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     rng = np.random.default_rng(0)
     intr = CameraIntrinsics(
-        fx=525.0, fy=525.0, cx=W / 2 - 0.5, cy=H / 2 - 0.5, width=W, height=H
+        fx=525.0 + fuzz, fy=525.0, cx=W / 2 - 0.5, cy=H / 2 - 0.5, width=W, height=H
     )
     ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     depth0 = (2000 + 2 * xs + ys + rng.integers(0, 8, size=(H, W))).astype(np.uint16)
