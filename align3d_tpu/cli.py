@@ -102,6 +102,15 @@ def cmd_viewer(args) -> int:
         render_dataset_preview,
     )
 
+    if args.interactive:
+        from align3d_tpu.io.datasets import load_dataset
+        from align3d_tpu.viz.viewers import RgbdDatasetViewer
+
+        dataset = load_dataset(args.format, args.dataset)
+        RgbdDatasetViewer(dataset).show(
+            max_frames=args.max_frames, port=args.port
+        )
+        return 0
     if args.animate or args.output.lower().endswith(".gif"):
         out = render_dataset_flythrough(
             args.format,
@@ -173,6 +182,13 @@ def main(argv=None) -> int:
         action="store_true",
         help="render an orbiting GIF fly-through instead of a single PNG",
     )
+    p_view.add_argument(
+        "--interactive",
+        action="store_true",
+        help="serve an interactive viewer (WASD fly, mouse orbit, 1..9 "
+        "visibility toggles, Q quit) at http://127.0.0.1:PORT/",
+    )
+    p_view.add_argument("--port", type=int, default=8700)
     p_view.set_defaults(fn=cmd_viewer)
 
     args = parser.parse_args(argv)

@@ -155,6 +155,18 @@ class Icp:
     candidate cap (the accuracy/speed sweet spot); associations farther than
     one cell ring are missed, which the distance gate would mostly reject
     anyway (the reference kd-tree is similarly approximate: descent-only).
+
+    Motion bound (banded engine): the source cloud is sorted ONCE by the
+    initial transform's cell ids, and every GN iteration re-derives cell ids
+    from the moved points while keeping that iteration-0 order.
+    ``associate_p2p`` anchors each 128-query band on the block-minimum cell
+    id, which tolerates slight staleness, but a per-iteration translation
+    step larger than ~``cell_size`` (default ``max_distance / 10``) can push
+    queries' true neighborhoods outside the fixed band with no error signal
+    — association silently degrades and the distance gate absorbs the loss.
+    Seed large motions via ``initial_transform`` (which IS folded into the
+    sort), or pass a larger ``cell_size``/``band_width`` when per-iteration
+    steps are expected to be coarse.
     """
 
     def __init__(

@@ -120,13 +120,26 @@ def read_ply(filepath) -> Geometry:
                         ("idx", endian + _DTYPES[idx_dt], (3,)),
                     ]
                 )
-                if count > 0 and offset + tri_dt.itemsize * count <= len(body):
+                # When faces are the LAST element, the triangle hypothesis
+                # must also consume the block exactly — "every stride-13
+                # count byte reads 3" can hold coincidentally on a
+                # mixed-polygon file, and the byte-count check unmasks that
+                # (r3 advisor finding); the slow path below then raises on
+                # the actual polygon sizes.
+                is_last = name == elements[-1][0]
+                fast_len = tri_dt.itemsize * count
+                fast_ok = count > 0 and offset + fast_len <= len(body)
+                if fast_ok and is_last:
+                    fast_ok = offset + fast_len == len(body)
+                if fast_ok:
                     tri = np.frombuffer(body, dtype=tri_dt, count=count, offset=offset)
                     if bool(np.all(tri["n"] == 3)):
                         rows = tri["idx"].astype(np.int64)
-                        offset += tri_dt.itemsize * count
+                        offset += fast_len
                 if not len(rows):
                     for _ in range(count):
+                        if offset + cnt_size > len(body):
+                            raise PlyError("truncated face element")
                         n = int(
                             np.frombuffer(
                                 body, dtype=endian + _DTYPES[cnt_dt], count=1,
@@ -134,6 +147,8 @@ def read_ply(filepath) -> Geometry:
                             )[0]
                         )
                         offset += cnt_size
+                        if n < 0 or offset + idx_size * n > len(body):
+                            raise PlyError("truncated face element")
                         idx = np.frombuffer(
                             body, dtype=endian + _DTYPES[idx_dt], count=n, offset=offset
                         )

@@ -295,6 +295,11 @@ def nearest_banded(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # A DB smaller than the band would otherwise make the kernel DMA tiles
+    # past the end of `planes` (bstarts clamps to 0 but the copy length is
+    # band_width//128 tiles) — clamp the effective band to the padded DB
+    # size, which is jit-static (a shape).
+    band_width = min(band_width, grid.planes.shape[0] * 128)
     f32 = jnp.float32
     q = queries.shape[0]
     nx, ny, nz = grid.dims
@@ -400,6 +405,8 @@ def associate_p2p(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Same small-DB guard as nearest_banded: never DMA past the planes array.
+    band_width = min(band_width, grid.planes.shape[0] * 128)
     f32 = jnp.float32
     q = lin_s.shape[0]
     nx, ny, nz = grid.dims

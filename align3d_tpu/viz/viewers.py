@@ -59,6 +59,16 @@ class GeoViewer:
         camera = builder.build()
         return self.scene.render(self.renderer, camera)
 
+    def show(self, port: int = 8700) -> None:
+        """Interactive window equivalent (geoviewer.rs ``run``): serve the
+        scene at http://127.0.0.1:<port>/ with WASD fly, drag orbit and
+        number-key visibility toggles."""
+        from align3d_tpu.viz.interactive import InteractiveViewer
+
+        InteractiveViewer(
+            self.scene, self.renderer.width, self.renderer.height
+        ).run(port=port)
+
     def run(self, out_dir, n_frames: int = 8) -> list[str]:
         """Render an orbit of ``n_frames`` PNGs (the headless "event loop")."""
         os.makedirs(out_dir, exist_ok=True)
@@ -106,3 +116,16 @@ class RgbdDatasetViewer:
     def run(self, out_dir, max_frames: int | None = 8, n_views: int = 4) -> list[str]:
         self.build_scene(max_frames=max_frames)
         return self.viewer.run(out_dir, n_frames=n_views)
+
+    def show(self, max_frames: int | None = 8, port: int = 8700) -> None:
+        """Interactive window equivalent (reference
+        rgbd_dataset_viewer.rs ``run`` -> Window event loop): serve the
+        scene at http://127.0.0.1:<port>/ with WASD/orbit/toggles."""
+        from align3d_tpu.viz.interactive import InteractiveViewer
+
+        self.build_scene(max_frames=max_frames)
+        InteractiveViewer(
+            self.viewer.scene,
+            self.viewer.renderer.width,
+            self.viewer.renderer.height,
+        ).run(port=port)

@@ -83,6 +83,15 @@ class VirtualCamera:
             v * c + np.cross(k, v) * s + k * float(k @ v) * (1.0 - c)
         )
 
+    def rotate_up_axis(self, rad: float) -> None:
+        """Rotate the view direction about ``up`` (virtual_camera.rs:50-56),
+        renormalized as the reference does."""
+        c, s = math.cos(rad), math.sin(rad)
+        k = self.up / np.linalg.norm(self.up)
+        v = self.view
+        v = v * c + np.cross(k, v) * s + k * float(k @ v) * (1.0 - c)
+        self.view = v / np.linalg.norm(v)
+
 
 @dataclasses.dataclass
 class VirtualCameraSphericalBuilder:

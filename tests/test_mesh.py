@@ -110,6 +110,55 @@ def test_ply_binary_write_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.faces, geom.faces)
 
 
+def test_ply_binary_truncated_raises(tmp_path):
+    """A truncated binary face block raises PlyError, not a raw numpy error
+    (r3 advisor finding)."""
+    import numpy as np
+    import pytest
+
+    from align3d_tpu.io.geometry import Geometry
+    from align3d_tpu.io.ply import PlyError, read_ply, write_ply
+
+    rng = np.random.default_rng(0)
+    geom = Geometry(
+        points=rng.normal(size=(50, 3)).astype(np.float32),
+        faces=rng.integers(0, 50, (30, 3)).astype(np.int64),
+    )
+    path = tmp_path / "t.ply"
+    write_ply(path, geom, binary=True)
+    data = path.read_bytes()
+    (tmp_path / "trunc.ply").write_bytes(data[:-7])
+    with pytest.raises(PlyError):
+        read_ply(tmp_path / "trunc.ply")
+
+
+def test_ply_binary_quads_rejected(tmp_path):
+    """Binary non-triangle faces fail the fast path (count bytes != 3 or the
+    block-size check) and raise via the slow path's triangle validation."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from align3d_tpu.io.ply import PlyError, read_ply
+
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex 4\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"element face 1\n"
+        b"property list uchar int vertex_indices\n"
+        b"end_header\n"
+    )
+    body = b"".join(struct.pack("<3f", *v) for v in
+                    [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)])
+    body += struct.pack("<B4i", 4, 0, 1, 2, 3)  # one quad
+    path = tmp_path / "quad.ply"
+    path.write_bytes(header + body)
+    with pytest.raises(PlyError):
+        read_ply(path)
+
+
 def test_ply_ascii_teapot_roundtrip(tmp_path):
     """Read the reference's ASCII teapot.ply; write ASCII; read back equal.
 

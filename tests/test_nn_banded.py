@@ -27,6 +27,22 @@ def test_matches_brute_force_within_cell_ring():
     np.testing.assert_allclose(np.asarray(sq), np.asarray(bsq), atol=5e-6)
 
 
+def test_small_db_smaller_than_band():
+    """DBs with fewer padded points than the default band_width (mp <= 384 at
+    band_width=512) must clamp the band instead of DMA-ing past the end of
+    the planes array (r3 advisor finding) — and still be exact."""
+    for n in (3, 100, 300):
+        db = _cloud(n, 11)
+        queries = jnp.asarray(_cloud(64, 12))
+        grid = SortedGrid.build(jnp.asarray(db), 0.25)
+        assert grid.planes.shape[0] * 128 < 512
+        idx, sq = nearest_banded(grid, queries, band_width=512)
+        bidx, bsq = voxel_hash.nearest_brute_force(jnp.asarray(db), queries)
+        agree = float(jnp.mean((idx == bidx).astype(jnp.float32)))
+        assert agree > 0.9, (n, agree)  # one-ring coverage; ties may differ
+        np.testing.assert_allclose(np.asarray(sq), np.asarray(bsq), atol=5e-6)
+
+
 def test_queries_outside_grid_get_far_distances():
     """Far queries return a genuine (distant) neighbor — the reference
     kd-tree's ``nearest`` also always returns something (kdtree.rs:69-105);
