@@ -38,6 +38,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (memory spaces)
 
 Array = jax.Array
 
@@ -296,6 +298,139 @@ def _slice(
     return out_g.reshape(n_groups * width, w)[inv]
 
 
+def _slice_kernel(p0_ref, p1_ref, pix_ref, out_ref, *, width: int):
+    """One image-row group: trilinear sample of (gdp, w) planes.
+
+    z sits on SUBLANES, pixels on LANES, so the per-row one-hot z-select is
+    a (gdp, w) compare + a sublane reduce — no relayouts, no gathers, and
+    (unlike the XLA form at large batch) no HBM-materialized (width, w, gd)
+    intermediate: the planes are read once into VMEM per group.
+    """
+    p0 = p0_ref[0]  # (gdp, w)
+    pd = p1_ref[0] - p0  # hoisted: pm = p0 + ya*pd per row
+    gdp = p0.shape[0]
+    w = p0.shape[1]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (gdp, w), 0)
+    for r in range(width):
+        z0 = pix_ref[0, 0, r : r + 1, :]  # (1, w) f32 (holds an int value)
+        z1 = pix_ref[0, 1, r : r + 1, :]
+        za = pix_ref[0, 2, r : r + 1, :]
+        ya = pix_ref[0, 3, r : r + 1, :]
+        kz0 = z0.astype(jnp.int32)
+        kz1 = z1.astype(jnp.int32)
+        wz = jnp.where(kk == kz0, 1.0 - za, 0.0) + jnp.where(
+            kk == kz1, za, 0.0
+        )
+        pm = p0 + ya * pd
+        out_ref[0, r : r + 1, :] = jnp.sum(wz * pm, axis=0, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("sigma_space", "sigma_color", "interpret"))
+def _slice_fused(
+    grid: Array,
+    image: Array,
+    color_min: Array,
+    sigma_space: float,
+    sigma_color: float,
+    interpret: bool = False,
+) -> Array:
+    """Pallas form of :func:`_slice` (identical semantics, same group
+    decomposition): the static spatial corner planes are still built by XLA,
+    but the per-pixel z one-hot reduce runs in a kernel over row groups with
+    the planes resident in VMEM. At realistic depth spans (gd >~ 130) the
+    XLA form's fused (G, width, w, gd) intermediate stops fitting in
+    registers/VMEM and spills to HBM — the kernel caps that traffic at one
+    plane read per group regardless of gd or batch."""
+    import numpy as np
+
+    gh, gw, gd = grid.shape[1:]
+    h, w = image.shape
+    inv_ss = 1.0 / sigma_space
+    inv_sc = 1.0 / sigma_color
+
+    def np_axis_indices(coord, n):
+        i0 = np.clip(coord.astype(np.int32), 0, n - 1)
+        i1 = np.clip((coord + 1.0).astype(np.int32), 0, n - 1)
+        alpha = (coord - i0).astype(np.float32)
+        return i0, i1, alpha
+
+    rowf = np.arange(h, dtype=np.float32) * np.float32(inv_ss) + _SPACE_PAD
+    colf = np.arange(w, dtype=np.float32) * np.float32(inv_ss) + _SPACE_PAD
+    y0, y1, ya = np_axis_indices(rowf, gh)
+    x0, x1, xa = np_axis_indices(colf, gw)
+
+    chan = (
+        image.astype(jnp.float32) - color_min.astype(jnp.float32)
+    ) * inv_sc + _COLOR_PAD
+    z0 = jnp.clip(chan.astype(jnp.int32), 0, gd - 1)
+    z1 = jnp.clip((chan + 1.0).astype(jnp.int32), 0, gd - 1)
+    za = chan - z0.astype(jnp.float32)
+
+    uniq = np.unique(y0)
+    slot_of = {int(g): i for i, g in enumerate(uniq)}
+    n_groups = len(uniq)
+    width = int(np.max(np.bincount([slot_of[int(g)] for g in y0])))
+    row_of = np.zeros((n_groups, width), np.int32)
+    used = np.zeros((n_groups, width), bool)
+    fill = [0] * n_groups
+    for r, g in enumerate(y0):
+        s = slot_of[int(g)]
+        row_of[s, fill[s]] = r
+        used[s, fill[s]] = True
+        fill[s] += 1
+    y1_g = np.clip(uniq + 1, 0, gh - 1)
+
+    gdp = -(-gd // 8) * 8
+    val = grid[0]  # (gh, gw, gd)
+
+    # x-lerp as ONE MXU contraction with a constant (gw, w) selection-lerp
+    # matrix (<=2 nonzeros per column: 1-xa at x0, xa at x1) — the lane-gather
+    # form cost 0.76 ms/frame at batch 64, this is a ~1.4 GMAC matmul.
+    s_mat = np.zeros((gw, w), np.float32)
+    s_mat[x0, np.arange(w)] += 1.0 - xa
+    s_mat[x1, np.arange(w)] += xa
+    xp_all = jnp.einsum(
+        "hgd,gw->hdw",
+        val,
+        jnp.asarray(s_mat),
+        preferred_element_type=jnp.float32,
+    )  # (gh, gd, w)
+    xp_all = jnp.pad(xp_all, ((0, 0), (0, gdp - gd), (0, 0)))
+    p0 = xp_all[uniq]  # (G, gdp, w) — static row-slab gathers (copies)
+    p1 = xp_all[y1_g]
+
+    wya = jnp.asarray(ya, jnp.float32)[row_of]  # (G, width)
+    pix = jnp.stack(
+        [
+            z0[row_of].astype(jnp.float32),
+            z1[row_of].astype(jnp.float32),
+            za[row_of],
+            jnp.broadcast_to(wya[..., None], (n_groups, width, w)),
+        ],
+        axis=1,
+    )  # (G, 4, width, w)
+
+    out = pl.pallas_call(
+        partial(_slice_kernel, width=width),
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, gdp, w), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, gdp, w), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, 4, width, w), lambda g: (g, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, width, w), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_groups, width, w), jnp.float32),
+        interpret=interpret,
+    )(p0, p1, pix)
+
+    inv = np.zeros(h, np.int32)
+    for s in range(n_groups):
+        for t in range(width):
+            if used[s, t]:
+                inv[row_of[s, t]] = s * width + t
+    return out.reshape(n_groups * width, w)[inv]
+
+
 @dataclasses.dataclass
 class BilateralGrid:
     """Built grid + metadata (mirrors reference ``BilateralGrid``).
@@ -377,11 +512,22 @@ class BilateralGrid:
 
     def slice(self, image: Array) -> Array:
         """Sample back to image space; returns the image's dtype (truncating
-        cast, like the reference's ``num::cast``)."""
+        cast, like the reference's ``num::cast``).
+
+        TPU uses the fused Pallas kernel (:func:`_slice_fused`); other
+        backends keep the pure-XLA form (:func:`_slice`, also the parity
+        oracle for the kernel)."""
         image = jnp.asarray(image)
-        value = _slice(
-            self.data_cm, image, self.color_min, self.sigma_space, self.sigma_color
-        )
+        if jax.default_backend() == "tpu":
+            value = _slice_fused(
+                self.data_cm, image, self.color_min,
+                self.sigma_space, self.sigma_color,
+            )
+        else:
+            value = _slice(
+                self.data_cm, image, self.color_min,
+                self.sigma_space, self.sigma_color,
+            )
         return value.astype(image.dtype)
 
 

@@ -34,15 +34,30 @@ def main() -> int:
     faces_j = jnp.asarray(faces)
 
     evaluator = MeshNormals(faces, pts.shape[0])
-    log(f"cached topology: max vertex degree {evaluator.degree}")
+    bd = evaluator._banded
+    log(
+        f"cached topology: max vertex degree {evaluator.degree}; banded "
+        f"bands: {'none' if bd is None else f'vbr={bd.vbr} fbr={bd.fbr}'}"
+    )
 
     def step_cached(_, carry):
         p, acc = carry
-        vn = evaluator(p)
+        vn = evaluator(p)  # auto: banded Pallas kernel on TPU
         return (p + 1e-12 * vn[0, 0], acc + jnp.sum(vn[0]))
 
     ms = marginal_ms(step_cached, (pts_j, jnp.float32(0)), lo=10, hi=210)
-    log(f"mesh normals (MeshNormals, cached topology) {faces.shape[0]} faces: {ms:.3f} ms")
+    log(f"mesh normals (MeshNormals auto path) {faces.shape[0]} faces: {ms:.3f} ms")
+
+    def step_gather(_, carry):
+        p, acc = carry
+        vn = evaluator(p, method="gather")
+        return (p + 1e-12 * vn[0, 0], acc + jnp.sum(vn[0]))
+
+    ms_gather = marginal_ms(step_gather, (pts_j, jnp.float32(0)), lo=10, hi=110)
+    log(
+        f"mesh normals (gather-table path) {faces.shape[0]} faces: "
+        f"{ms_gather:.3f} ms"
+    )
 
     def step(_, carry):
         p, acc = carry

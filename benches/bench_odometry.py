@@ -22,19 +22,24 @@ NFRAMES = int(__import__("os").environ.get("ODO_NFRAMES", "9"))  # pairs = NFRAM
 
 
 def _real_frames():
-    """All sample1+sample2 frames + wrap -> (colors (65,H,W,3) u8,
-    depths (65,H,W) u16, intrinsics, depth_scale)."""
+    """65 real sample1 frames (forward + palindrome + wrap = 64 adjacent
+    pairs, every one a distinct real RGB-D pair) -> (colors (65,H,W,3) u8,
+    depths (65,H,W) u16, intrinsics, depth_scale).
+
+    sample1 only: sample2's raw depth sits at ~10x the u16 range (span
+    22,500 vs 3,785), and mixing it into one batched series blows the
+    bilateral grid's static depth axis to gd~1074 (a 20 GB intermediate at
+    batch 65 — the reference sizes its grid per frame from min/max,
+    grid.rs:51-54, so it never sees a cross-scale span either)."""
     import numpy as np
 
     from align3d_tpu import config
     from align3d_tpu.io.datasets.slamtb import SlamTbDataset
 
-    frames = []
-    for name in ("sample1", "sample2"):
-        ds = SlamTbDataset.load(config.ref_data_path("rgbd", name))
-        for i in range(len(ds)):
-            frames.append(ds.get(i))
-    frames = frames + frames[: 65 - len(frames)]  # wrap to 65 frames = 64 pairs
+    ds = SlamTbDataset.load(config.ref_data_path("rgbd", "sample1"))
+    base = [ds.get(i) for i in range(len(ds))]  # 31 frames
+    frames = base + base[-2::-1]  # palindrome: 31 + 30 = 61
+    frames = frames + base[: 65 - len(frames)]  # wrap to 65 = 64 pairs
     colors = np.stack([np.asarray(f.image.color) for f in frames])
     depths = np.stack([np.asarray(f.image.depth) for f in frames])
     return colors, depths, frames[0].camera, float(frames[0].image.depth_scale)

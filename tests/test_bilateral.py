@@ -181,3 +181,28 @@ def test_filter_static_matches_dynamic(bloei_luma16):
         lambda im, cm: filt.filter_static(im, cm, gd)
     )(img, jnp.min(img))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_slice_fused_matches_xla(bloei_luma16):
+    """The Pallas slice kernel (interpret mode on CPU) == the XLA slice
+    oracle on a real image, bit-exactly (same arithmetic, same order)."""
+    from align3d_tpu.ops.bilateral import (
+        BilateralFilter,
+        BilateralGrid,
+        _slice,
+        _slice_fused,
+    )
+
+    img = jnp.asarray(bloei_luma16[:96, :128])
+    filt = BilateralFilter(pad_depth_to=1)
+    grid = BilateralGrid.from_image(
+        img, filt.sigma_space, filt.sigma_color, 1
+    ).convolve().normalize()
+    ref = _slice(
+        grid.data_cm, img, grid.color_min, filt.sigma_space, filt.sigma_color
+    )
+    got = _slice_fused(
+        grid.data_cm, img, grid.color_min, filt.sigma_space, filt.sigma_color,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)

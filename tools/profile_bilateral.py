@@ -1,6 +1,8 @@
 """Per-stage timing of the bilateral-grid filter: splat / blur / normalize+slice.
 
-Usage: python tools/profile_bilateral.py
+Usage: python tools/profile_bilateral.py [depth_span_u16]
+  default span ~1768 (gd~64); pass 3800 for the realistic bedroom/sample1
+  span (gd~131).
 """
 
 import os
@@ -19,9 +21,11 @@ def main() -> int:
 
     from align3d_tpu.ops import bilateral as b
 
+    span = int(sys.argv[1]) if len(sys.argv) > 1 else 1768
     rng = np.random.default_rng(0)
     ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    depth = (2000 + 2 * xs + ys + rng.integers(0, 8, size=(H, W))).astype(np.uint16)
+    ramp = (2 * xs + ys) * (span / 1768.0)
+    depth = (2000 + ramp + rng.integers(0, 8, size=(H, W))).astype(np.uint16)
     depth[rng.random((H, W)) < 0.07] = 0
     depth = jnp.asarray(depth)
 
@@ -50,12 +54,18 @@ def main() -> int:
                      filt.sigma_space, filt.sigma_color)
         return acc + jnp.sum(v[0, 0])
 
+    def slice_fused_step(_, acc):
+        v = b._slice_fused(grid.data_cm + acc * 1e-20, depth, cmin,
+                           filt.sigma_space, filt.sigma_color)
+        return acc + jnp.sum(v[0, 0])
+
     def full_step(_, acc):
         out = filt.filter_static(depth + (acc * 1e-12).astype(jnp.uint16), cmin, gd)
         return acc + jnp.sum(out[0].astype(jnp.float32))
 
     for name, fn in [("splat", splat_step), ("blur", blur_step),
                      ("normalize", norm_step), ("slice", slice_step),
+                     ("slice fused (pallas)", slice_fused_step),
                      ("full filter", full_step)]:
         ms = marginal_ms(fn, jnp.float32(0), lo=2, hi=22, calls=4)
         log(f"{name}: {ms:.3f} ms")
