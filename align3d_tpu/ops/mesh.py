@@ -195,6 +195,11 @@ def _build_banded(
     if fbr > max_band_rows or vbr > max_band_rows:
         return None
 
+    # 8-align the band heights: the kernel DMAs (3, band, 128) windows into
+    # tiled VMEM scratch, and sublane extents must match the (8, 128) tile
+    # granularity on hardware (non-aligned copies fault the TPU worker).
+    fbr = -(-fbr // 8) * 8
+    vbr = -(-vbr // 8) * 8
     fr_pad = max(fr, fbr)
     npts_rows = max(nr, vbr)
     fb0r = np.clip(fb_lo, 0, fr_pad - fbr).astype(np.int32)
