@@ -57,6 +57,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from align3d_tpu.camera import CameraIntrinsics
+from align3d_tpu.optim.pcg import pcg
 from align3d_tpu.se3 import Transform
 
 Array = jax.Array
@@ -196,33 +197,6 @@ def _densify_w(w_obs, obs_pose, obs_landmark, n, m):
     )
 
 
-def _pcg(matvec, precond, b, iters: int, tol: float = 1e-10):
-    """Block-Jacobi preconditioned CG with a static trip count (see
-    pose_graph._pcg — duplicated to keep both modules self-contained)."""
-    x = jnp.zeros_like(b)
-    r = b
-    z = precond(r)
-    p = z
-    rz = jnp.sum(r * z)
-
-    def body(_, carry):
-        x, r, p, rz = carry
-        hp = matvec(p)
-        denom = jnp.sum(p * hp)
-        live = (rz > tol) & (denom > 0.0)
-        alpha = jnp.where(live, rz / jnp.where(denom == 0.0, 1.0, denom), 0.0)
-        x = x + alpha * p
-        r = r - alpha * hp
-        z = precond(r)
-        rz_new = jnp.sum(r * z)
-        beta = jnp.where(live, rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0)
-        p = jnp.where(live, z + beta * p, p)
-        return x, r, p, jnp.where(live, rz_new, rz)
-
-    x, *_ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
-    return x
-
-
 def _schur_solve_coo(
     hpp: Array,  # (N, 6, 6)
     hll: Array,  # (M, 3, 3)
@@ -286,7 +260,7 @@ def _schur_solve_coo(
     def precond(r):
         return jnp.einsum("nuw,nw->nu", minv, r)
 
-    dp = -_pcg(matvec, precond, rhs, cg_iters)
+    dp = -pcg(matvec, precond, rhs, cg_iters)
     wt_dp = wt_v(dp)
     dl = -jnp.einsum("Lwx,Lx->Lw", hll_inv, gl + wt_dp)
     return dp, dl

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from align3d_tpu.optim.pcg import pcg
 from align3d_tpu.se3 import Transform
 from align3d_tpu.trajectory import Trajectory
 
@@ -219,33 +220,6 @@ def _finalize_diag(hdiag: Array, damping: float) -> Array:
     return hdiag.at[0].set(jnp.eye(6, dtype=jnp.float32))
 
 
-def _pcg(matvec, precond, b, iters: int, tol: float = 1e-10):
-    """Preconditioned CG on the block system; fixed trip count (jit-static),
-    frozen via masking once the residual norm passes ``tol``."""
-    x = jnp.zeros_like(b)
-    r = b
-    z = precond(r)
-    p = z
-    rz = jnp.sum(r * z)
-
-    def body(_, carry):
-        x, r, p, rz = carry
-        hp = matvec(p)
-        denom = jnp.sum(p * hp)
-        live = (rz > tol) & (denom > 0.0)
-        alpha = jnp.where(live, rz / jnp.where(denom == 0.0, 1.0, denom), 0.0)
-        x = x + alpha * p
-        r = r - alpha * hp
-        z = precond(r)
-        rz_new = jnp.sum(r * z)
-        beta = jnp.where(live, rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0)
-        p = jnp.where(live, z + beta * p, p)
-        return x, r, p, jnp.where(live, rz_new, rz)
-
-    x, *_ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
-    return x
-
-
 def _cg_step_update(nodes, hdiag, hij, g, edges, cg_iters: int):
     """One GN update from the block system via block-Jacobi PCG."""
     n = hdiag.shape[0]
@@ -267,7 +241,7 @@ def _cg_step_update(nodes, hdiag, hij, g, edges, cg_iters: int):
     def precond(r):
         return jnp.einsum("nuw,nw->nu", minv, r)
 
-    update = -_pcg(matvec, precond, g, cg_iters)
+    update = -pcg(matvec, precond, g, cg_iters)
     return nodes @ Transform.exp(update)
 
 
@@ -354,7 +328,7 @@ def optimize(
                 )
                 return out + jax.lax.psum(local, axis)
 
-            update = -_pcg(
+            update = -pcg(
                 matvec, lambda r: jnp.einsum("nuw,nw->nu", minv, r), g, cg_iters
             )
             out = nodes_r @ Transform.exp(update)

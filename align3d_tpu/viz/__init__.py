@@ -18,8 +18,14 @@ Components:
 * :mod:`scene` — node/scene graph (viz/node.rs, viz/scene.rs)
 * :mod:`viewers` — GeoViewer / RgbdDatasetViewer equivalents that write
   PNG frames (viz/geoviewer.rs, viz/rgbd_dataset_viewer.rs)
+* :mod:`interactive` — the windowed event loop as a localhost web app:
+  WASD fly, drag orbit, number-key toggles, quit (viz/window.rs:145-385,
+  viz/controllers/virtual_camera_controller.rs:56-98)
+* :mod:`manager` — backend bootstrap picking the most capable device
+  (viz/manager.rs:22-99 analog)
 """
 
+from align3d_tpu.viz.manager import Manager
 from align3d_tpu.viz.render import OffscreenRenderer
 from align3d_tpu.viz.scene import Node, Scene
 from align3d_tpu.viz.sphere import Sphere3D
@@ -30,6 +36,7 @@ from align3d_tpu.viz.virtual_camera import (
 )
 
 __all__ = [
+    "Manager",
     "Node",
     "OffscreenRenderer",
     "PerspectiveProjection",

@@ -130,3 +130,17 @@ def test_packed_color_u8():
     rng = np.random.default_rng(0)
     rgb = rng.integers(0, 256, (64, 3)).astype(np.uint8)
     np.testing.assert_array_equal(unpack_color_u8(pack_color_u8(rgb)), rgb)
+
+
+def test_manager_bootstrap():
+    """Manager picks the most capable backend (manager.rs:60-78 analog) and
+    constructs renderers/viewers bound to it."""
+    from align3d_tpu.viz.manager import Manager
+
+    m = Manager.default()
+    assert m.device.platform in ("tpu", "gpu", "cpu")
+    assert ":" in m.device_name
+    r = m.renderer(64, 48)
+    assert r.width == 64 and r.height == 48
+    gv = m.geo_viewer(64, 48)
+    assert gv.renderer.width == 64
