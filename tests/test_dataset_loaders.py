@@ -167,6 +167,28 @@ class TestCliSmoke:
         out = capsys.readouterr().out
         assert "Mean trajectory error" in out
 
+    def test_odometry_save_trajectory_tum_format(self, il_tree, tmp_path, capsys):
+        """--save-trajectory writes a TUM-format file that round-trips
+        through Trajectory.from_tum_file with the estimated poses."""
+        import numpy as np
+
+        from align3d_tpu.cli import main
+        from align3d_tpu.trajectory import Trajectory
+
+        out = str(tmp_path / "traj.txt")
+        rc = main(
+            ["odometry", "ilrgbd", il_tree, "3", "--no-bilateral", "-q",
+             "--save-trajectory", out]
+        )
+        assert rc == 0
+        with open(out) as f:
+            traj = Trajectory.from_tum(f.read())
+        assert len(traj) == 3
+        t = np.asarray(traj.camera_to_world.translation)
+        assert np.isfinite(t).all()
+        # First frame at origin (odometry convention).
+        np.testing.assert_allclose(t[0], 0.0, atol=1e-6)
+
 
 class TestShowAndFlythrough:
     def test_odometry_show_png(self, il_tree, tmp_path, capsys):

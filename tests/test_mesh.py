@@ -169,6 +169,28 @@ def test_mesh_normals_banded_rejects_incoherent():
     assert out.shape == (n, 3)
 
 
+def test_off_quad_fan_split_and_arity_rejection(tmp_path):
+    """Quads triangulate by fan split (off.rs:78-86); 5-gons are rejected
+    with a line-tracked error."""
+    import pytest
+
+    from align3d_tpu.io.off import OffError, read_off
+
+    quad = tmp_path / "quad.off"
+    quad.write_text(
+        "OFF\n4 1 0\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n"
+    )
+    geo = read_off(str(quad))
+    np.testing.assert_array_equal(geo.faces, [[0, 1, 2], [0, 2, 3]])
+
+    bad = tmp_path / "penta.off"
+    bad.write_text(
+        "OFF\n5 1 0\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n0.5 2 0\n5 0 1 2 3 4\n"
+    )
+    with pytest.raises(OffError, match="arity"):
+        read_off(str(bad))
+
+
 def test_ply_binary_truncated_raises(tmp_path):
     """A truncated binary face block raises PlyError, not a raw numpy error
     (r3 advisor finding)."""
