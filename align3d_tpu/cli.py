@@ -52,6 +52,8 @@ def cmd_odometry(args) -> int:
         range_builder=builder,
         icp_params=params,
         progress=_progress_printer() if not args.quiet else None,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
     )
     if args.loop_closure:
         from align3d_tpu.odometry import refine_with_loop_closures
@@ -162,6 +164,13 @@ def main(argv=None) -> int:
     )
     p_odo.add_argument("--quiet", "-q", action="store_true")
     p_odo.add_argument("--save-trajectory", metavar="PATH")
+    p_odo.add_argument(
+        "--checkpoint",
+        metavar="PATH",
+        help="snapshot the in-progress trajectory here and RESUME from it "
+        "if the file exists (aborted runs continue where they stopped)",
+    )
+    p_odo.add_argument("--checkpoint-every", type=int, default=10)
     p_odo.add_argument(
         "--show",
         metavar="PATH",

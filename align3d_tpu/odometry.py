@@ -40,8 +40,21 @@ def run_odometry(
     icp_params: MsIcpParams | None = None,
     max_frames: int | None = None,
     progress: Callable[[int, int], None] | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 10,
 ) -> OdometryResult:
-    """Sequential frame-to-frame odometry (odometry.rs:28-62 flow)."""
+    """Sequential frame-to-frame odometry (odometry.rs:28-62 flow).
+
+    ``checkpoint_path`` (beyond the reference, SURVEY §5 failure
+    robustness): snapshot the in-progress trajectory every
+    ``checkpoint_every`` frames and at the end; if the file already exists
+    the run RESUMES from its frame cursor — an aborted run re-invoked with
+    the same arguments continues where it stopped and produces the same
+    trajectory as an uninterrupted one (``tests/test_checkpoint.py``).
+    ``residuals`` then covers only the resumed-portion frames.
+    """
+    import os
+
     range_builder = range_builder or RangeImageBuilder()
     icp_params = icp_params or MsIcpParams.default()
 
@@ -49,18 +62,31 @@ def run_odometry(
     if max_frames is not None:
         n = min(n, max_frames)
 
+    start_frame = 1
     traj_builder = TrajectoryBuilder.with_start(Transform.identity(), 0.0)
-    last_pyramid = range_builder.build(dataset.get(0))
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        from align3d_tpu import checkpoint as ckpt
+
+        saved, next_frame = ckpt.load_odometry(checkpoint_path)
+        if next_frame > 1:
+            traj_builder = TrajectoryBuilder.from_trajectory(saved)
+            start_frame = min(next_frame, n)
+
+    last_pyramid = range_builder.build(dataset.get(start_frame - 1))
 
     residuals: list = []
     start = time.perf_counter()
-    for i in range(1, n):
+    for i in range(start_frame, n):
         current = range_builder.build(dataset.get(i))
         align = MultiscaleAlign(icp_params, last_pyramid)
         transform = align.align(current)
         residuals.append(align.last_residual)
         traj_builder.accumulate(transform, float(i))
         last_pyramid = current
+        if checkpoint_path and (i % checkpoint_every == 0 or i == n - 1):
+            from align3d_tpu import checkpoint as ckpt
+
+            ckpt.save_odometry(checkpoint_path, traj_builder.build(), i + 1)
         if progress is not None:
             progress(i, n - 1)
     elapsed = time.perf_counter() - start
@@ -74,7 +100,7 @@ def run_odometry(
     return OdometryResult(
         trajectory=pred,
         metrics=metrics,
-        seconds_per_frame=elapsed / max(n - 1, 1),
+        seconds_per_frame=elapsed / max(n - start_frame, 1),
         residuals=residuals,
     )
 

@@ -137,6 +137,20 @@ class TrajectoryBuilder:
     def with_start(cls, start: Transform, start_time: float) -> "TrajectoryBuilder":
         return cls(start=start, start_time=start_time)
 
+    @classmethod
+    def from_trajectory(cls, traj: "Trajectory") -> "TrajectoryBuilder":
+        """Resume accumulation from an existing trajectory (checkpoint
+        restore): the fold continues from its last pose."""
+        b = cls()
+        times = [float(t) for t in traj.times]
+        for k in range(len(traj)):
+            b._poses.append(traj.camera_to_world[k])
+            b._times.append(times[k])
+        if b._poses:
+            b._last = b._poses[-1]
+            b._last_time = b._times[-1]
+        return b
+
     def accumulate(self, now_to_previous: Transform, timestamp: float | None = None):
         self._last = now_to_previous @ self._last
         self._last_time = timestamp if timestamp is not None else self._last_time + 1.0

@@ -51,3 +51,35 @@ def test_tum_roundtrip():
     np.testing.assert_allclose(
         np.asarray(back.times), np.asarray(traj.times), atol=1e-6
     )
+
+
+def test_run_odometry_resume_matches_uninterrupted(sample1_dataset, tmp_path):
+    """An aborted odometry run resumed from its checkpoint produces the same
+    trajectory as one uninterrupted run (SURVEY §5 failure robustness; the
+    CLI exposes this as --checkpoint)."""
+    from align3d_tpu.odometry import run_odometry
+
+    full = run_odometry(sample1_dataset, max_frames=5)
+
+    ck = str(tmp_path / "odo.npz")
+    # "Aborted" run: frames 1..2 only, checkpoint written at the cut.
+    part = run_odometry(
+        sample1_dataset, max_frames=3, checkpoint_path=ck, checkpoint_every=2
+    )
+    assert len(part.trajectory) == 3
+    # Resume to the full length.
+    resumed = run_odometry(
+        sample1_dataset, max_frames=5, checkpoint_path=ck, checkpoint_every=2
+    )
+    assert len(resumed.trajectory) == 5
+    assert len(resumed.residuals) == 2  # only the resumed frames ran
+    np.testing.assert_allclose(
+        np.asarray(resumed.trajectory.camera_to_world.translation),
+        np.asarray(full.trajectory.camera_to_world.translation),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.trajectory.camera_to_world.rotation),
+        np.asarray(full.trajectory.camera_to_world.rotation),
+        atol=1e-6,
+    )
