@@ -69,6 +69,9 @@ def run_odometry(
 
         saved, next_frame = ckpt.load_odometry(checkpoint_path)
         if next_frame > 1:
+            # A checkpoint past the requested length truncates to it (the
+            # metrics compare pose-for-pose against gt[:n]).
+            saved = saved.slice(0, min(len(saved), n))
             traj_builder = TrajectoryBuilder.from_trajectory(saved)
             start_frame = min(next_frame, n)
 

@@ -83,3 +83,19 @@ def test_run_odometry_resume_matches_uninterrupted(sample1_dataset, tmp_path):
         np.asarray(full.trajectory.camera_to_world.rotation),
         atol=1e-6,
     )
+
+
+def test_run_odometry_resume_truncates_to_max_frames(sample1_dataset, tmp_path):
+    """Resuming with a SMALLER max_frames than the checkpoint truncates the
+    saved trajectory instead of breaking the metrics length match."""
+    from align3d_tpu.odometry import run_odometry
+
+    ck = str(tmp_path / "odo.npz")
+    run_odometry(
+        sample1_dataset, max_frames=4, checkpoint_path=ck, checkpoint_every=2
+    )
+    short = run_odometry(
+        sample1_dataset, max_frames=2, checkpoint_path=ck, checkpoint_every=2
+    )
+    assert len(short.trajectory) == 2
+    assert short.metrics is not None
