@@ -43,21 +43,43 @@ def load_state(path: str) -> dict:
         return {k: data[k] for k in data.files}
 
 
-def save_odometry(path: str, trajectory: Trajectory, next_frame: int) -> None:
-    """Snapshot an in-progress odometry run."""
-    save_state(
-        path,
-        {
-            "rotation": trajectory.camera_to_world.rotation,
-            "translation": trajectory.camera_to_world.translation,
-            "times": trajectory.times,
-            "next_frame": np.int64(next_frame),
-        },
-    )
+def save_odometry(
+    path: str,
+    trajectory: Trajectory,
+    next_frame: int,
+    fingerprint: str | None = None,
+) -> None:
+    """Snapshot an in-progress odometry run.
+
+    ``fingerprint`` identifies the run configuration (dataset identity,
+    engine, params); :func:`load_odometry` refuses to resume when the
+    stored fingerprint does not match the one passed at load time, so two
+    unrelated runs cannot be silently spliced into one trajectory.
+    """
+    state = {
+        "rotation": trajectory.camera_to_world.rotation,
+        "translation": trajectory.camera_to_world.translation,
+        "times": trajectory.times,
+        "next_frame": np.int64(next_frame),
+    }
+    if fingerprint is not None:
+        state["fingerprint"] = np.array(fingerprint)
+    save_state(path, state)
 
 
-def load_odometry(path: str) -> tuple[Trajectory, int]:
+def load_odometry(
+    path: str, fingerprint: str | None = None
+) -> tuple[Trajectory, int]:
     s = load_state(path)
+    if fingerprint is not None and "fingerprint" in s:
+        stored = str(s["fingerprint"])
+        if stored != fingerprint:
+            raise ValueError(
+                f"checkpoint {path!r} was written by a different run "
+                f"(stored fingerprint {stored!r} != current {fingerprint!r}); "
+                "refusing to resume — delete the checkpoint or point "
+                "--checkpoint elsewhere"
+            )
     traj = Trajectory(
         Transform(
             jax.numpy.asarray(s["rotation"]), jax.numpy.asarray(s["translation"])

@@ -109,9 +109,11 @@ def cmd_viewer(args) -> int:
         from align3d_tpu.viz.viewers import RgbdDatasetViewer
 
         dataset = load_dataset(args.format, args.dataset)
-        RgbdDatasetViewer(dataset).show(
-            max_frames=args.max_frames, port=args.port
-        )
+        # Unless explicitly capped, keep the interactive scene at show()'s
+        # own default (8 frames) — a full TUM sequence would otherwise load
+        # thousands of frames into the software renderer before serving.
+        max_frames = args.max_frames if args.max_frames is not None else 8
+        RgbdDatasetViewer(dataset).show(max_frames=max_frames, port=args.port)
         return 0
     if args.animate or args.output.lower().endswith(".gif"):
         out = render_dataset_flythrough(
@@ -170,7 +172,13 @@ def main(argv=None) -> int:
         help="snapshot the in-progress trajectory here and RESUME from it "
         "if the file exists (aborted runs continue where they stopped)",
     )
-    p_odo.add_argument("--checkpoint-every", type=int, default=10)
+    def _positive_int(value: str) -> int:
+        v = int(value)
+        if v < 1:
+            raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+        return v
+
+    p_odo.add_argument("--checkpoint-every", type=_positive_int, default=10)
     p_odo.add_argument(
         "--show",
         metavar="PATH",

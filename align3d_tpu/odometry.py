@@ -58,16 +58,36 @@ def run_odometry(
     range_builder = range_builder or RangeImageBuilder()
     icp_params = icp_params or MsIcpParams.default()
 
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+
     n = len(dataset)
     if max_frames is not None:
         n = min(n, max_frames)
+
+    # Lightweight run identity: dataset identity/length + engine config.
+    # Stored in the checkpoint so a resume with a different dataset or ICP
+    # configuration errors instead of splicing two unrelated runs. Wrappers
+    # (SubsetDataset, PrefetchingDataset) are unwrapped so a resume with a
+    # different max_frames — a supported flow — keeps the same identity.
+    base = dataset
+    while not hasattr(base, "base_dir") and hasattr(base, "dataset"):
+        base = base.dataset
+    fingerprint = (
+        f"{getattr(base, 'base_dir', type(base).__name__)}"
+        f"|len={len(base)}|{icp_params!r}"
+    )
 
     start_frame = 1
     traj_builder = TrajectoryBuilder.with_start(Transform.identity(), 0.0)
     if checkpoint_path and os.path.exists(checkpoint_path):
         from align3d_tpu import checkpoint as ckpt
 
-        saved, next_frame = ckpt.load_odometry(checkpoint_path)
+        saved, next_frame = ckpt.load_odometry(
+            checkpoint_path, fingerprint=fingerprint
+        )
         if next_frame > 1:
             # A checkpoint past the requested length truncates to it (the
             # metrics compare pose-for-pose against gt[:n]).
@@ -89,7 +109,12 @@ def run_odometry(
         if checkpoint_path and (i % checkpoint_every == 0 or i == n - 1):
             from align3d_tpu import checkpoint as ckpt
 
-            ckpt.save_odometry(checkpoint_path, traj_builder.build(), i + 1)
+            ckpt.save_odometry(
+                checkpoint_path,
+                traj_builder.build(),
+                i + 1,
+                fingerprint=fingerprint,
+            )
         if progress is not None:
             progress(i, n - 1)
     elapsed = time.perf_counter() - start

@@ -394,7 +394,10 @@ def _slice_fused(
         val,
         jnp.asarray(s_mat),
         preferred_element_type=jnp.float32,
-    )  # (gh, gd, w)
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (gh, gd, w) — full-f32 contraction so the fused path matches the
+    # XLA oracle's elementwise lerp (default bf16 rounding would drift ~2^-9
+    # on raw depth magnitudes); contraction is small, cost negligible.
     xp_all = jnp.pad(xp_all, ((0, 0), (0, gdp - gd), (0, 0)))
     p0 = xp_all[uniq]  # (G, gdp, w) — static row-slab gathers (copies)
     p1 = xp_all[y1_g]

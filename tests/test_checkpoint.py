@@ -85,6 +85,38 @@ def test_run_odometry_resume_matches_uninterrupted(sample1_dataset, tmp_path):
     )
 
 
+def test_odometry_fingerprint_mismatch_refuses(tmp_path):
+    """Resuming against a checkpoint from a different run configuration
+    raises instead of silently splicing two unrelated trajectories
+    (round-4 advisor finding)."""
+    import pytest
+
+    traj = Trajectory(
+        stack([Transform.identity(), Transform.identity()]),
+        jnp.asarray([0.0, 1.0]),
+    )
+    path = str(tmp_path / "odo.npz")
+    checkpoint.save_odometry(path, traj, next_frame=2, fingerprint="run-a")
+    # Same fingerprint resumes fine.
+    back, nf = checkpoint.load_odometry(path, fingerprint="run-a")
+    assert nf == 2
+    # Different fingerprint refuses.
+    with pytest.raises(ValueError, match="different run"):
+        checkpoint.load_odometry(path, fingerprint="run-b")
+    # Legacy checkpoint without a stored fingerprint still loads.
+    checkpoint.save_odometry(path, traj, next_frame=2)
+    checkpoint.load_odometry(path, fingerprint="run-a")
+
+
+def test_run_odometry_rejects_bad_checkpoint_every(sample1_dataset):
+    import pytest
+
+    from align3d_tpu.odometry import run_odometry
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        run_odometry(sample1_dataset, max_frames=2, checkpoint_every=0)
+
+
 def test_run_odometry_resume_truncates_to_max_frames(sample1_dataset, tmp_path):
     """Resuming with a SMALLER max_frames than the checkpoint truncates the
     saved trajectory instead of breaking the metrics length match."""
