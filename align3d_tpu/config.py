@@ -10,15 +10,20 @@ accuracy the reference gets from f64 for these well-scaled systems.
 
 Environment knobs:
 
-* ``ALIGN3D_REF_DATA`` — path to the reference test-fixture tree
-  (``tests/data`` of the reference repo). Used only by tests/benchmarks.
+* ``ALIGN3D_REF_DATA`` — override path to the test-fixture tree. Used only
+  by tests/benchmarks; defaults to the fixtures vendored in-repo under
+  ``tests/data`` (MIT, see ``tests/data/README.md``).
 """
 
 import os
 
-# Default location of the read-only reference fixtures (SlamTb sample1/2,
-# bloei.jpg, teapot.off/ply). Tests skip gracefully when absent.
-REF_DATA_DIR = os.environ.get("ALIGN3D_REF_DATA", "/root/reference/tests/data")
+# Default location of the test fixtures (SlamTb sample1/2, bloei.jpg,
+# teapot.off/ply): the in-repo vendored copy. Tests skip gracefully when
+# absent (e.g. an installed package without the source checkout).
+_IN_REPO = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "data"
+)
+REF_DATA_DIR = os.environ.get("ALIGN3D_REF_DATA", _IN_REPO)
 
 
 def ref_data_path(*parts: str) -> str:

@@ -19,7 +19,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from align3d_tpu.icp.params import IcpParams
 from align3d_tpu.ops import voxel_hash

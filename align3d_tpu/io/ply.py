@@ -9,7 +9,6 @@ and faces matching the reference's element layout (ply.rs:144-236).
 
 from __future__ import annotations
 
-import struct
 
 import numpy as np
 

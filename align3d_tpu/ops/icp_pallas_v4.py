@@ -45,7 +45,6 @@ from align3d_tpu.ops.intensity import GRAD_H, GRAD_H_INV
 from align3d_tpu.ops.icp_pallas_v3 import (  # shared band geometry + source pack
     CHUNK,
     DY_RADIUS,
-    HALO,
     _band,
     _ceil_div,
     pack_source,  # noqa: F401  (re-exported: v4 uses v3's source pack)

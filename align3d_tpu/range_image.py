@@ -19,7 +19,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from align3d_tpu.camera import CameraIntrinsics
 from align3d_tpu.image import RgbdFrame, py_scale_down, rgb_to_luma_u8

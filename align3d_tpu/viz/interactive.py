@@ -30,7 +30,6 @@ import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-import numpy as np
 
 from align3d_tpu.viz.render import OffscreenRenderer
 from align3d_tpu.viz.scene import Scene

@@ -3,6 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
+from align3d_tpu.config import ref_data_path
 from align3d_tpu.ops.mesh import compute_vertex_normals, face_normals
 
 
@@ -46,7 +47,7 @@ def test_degenerate_face_zero_normal():
 def test_teapot_fixture():
     from align3d_tpu.io.off import read_off
 
-    geo = read_off("/root/reference/tests/data/teapot.off")
+    geo = read_off(ref_data_path("teapot.off"))
     vn = np.asarray(
         compute_vertex_normals(
             jnp.asarray(geo.points), jnp.asarray(geo.faces.astype(np.int32))
@@ -76,7 +77,7 @@ def test_mesh_normals_cached_teapot():
     from align3d_tpu.io.off import read_off
     from align3d_tpu.ops.mesh import MeshNormals
 
-    geo = read_off("/root/reference/tests/data/teapot.off")
+    geo = read_off(ref_data_path("teapot.off"))
     pts = jnp.asarray(geo.points)
     faces = jnp.asarray(geo.faces.astype(np.int32))
     ref = np.asarray(compute_vertex_normals(pts, faces))
@@ -142,7 +143,7 @@ def test_mesh_normals_banded_teapot():
     from align3d_tpu.io.off import read_off
     from align3d_tpu.ops.mesh import MeshNormals
 
-    geo = read_off("/root/reference/tests/data/teapot.off")
+    geo = read_off(ref_data_path("teapot.off"))
     ev = MeshNormals(geo.faces.astype(np.int32), geo.points.shape[0])
     pts = jnp.asarray(geo.points)
     ref = np.asarray(ev(pts, method="gather"))
@@ -250,7 +251,7 @@ def test_ply_ascii_teapot_roundtrip(tmp_path):
 
     from align3d_tpu.io.ply import read_ply, write_ply
 
-    geom = read_ply("/root/reference/tests/data/teapot.ply")
+    geom = read_ply(ref_data_path("teapot.ply"))
     assert geom.points.shape == (480, 3)
     assert geom.normals is not None and geom.normals.shape == (480, 3)
     assert geom.faces is not None and geom.faces.shape == (880, 3)

@@ -9,11 +9,9 @@ reduction ordering).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from align3d_tpu.camera import CameraIntrinsics
 from align3d_tpu.parallel import batch as pbatch
-from align3d_tpu.se3 import Transform
 
 
 def _synthetic_sequence(n_frames: int, h: int = 48, w: int = 64):

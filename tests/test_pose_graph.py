@@ -1,6 +1,5 @@
 """SE(3) log + distributed pose-graph optimization tests (SURVEY phase 5)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -6,7 +6,6 @@ Golden values ported from the reference unit tests
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from align3d_tpu.se3 import Transform, matrix_to_quat, quat_to_matrix
 from align3d_tpu import se3
