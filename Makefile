@@ -13,10 +13,10 @@ lint:
 	python tools/lint.py
 
 test-fast:
-	$(CPU_ENV) python -m pytest tests/ -m "not slow" -q
+	$(CPU_ENV) python -m pytest tests/ -m "not slow" -q -n auto
 
 test:
-	$(CPU_ENV) python -m pytest tests/ -q
+	$(CPU_ENV) python -m pytest tests/ -q -n auto
 
 bench:
 	python bench.py

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from align3d_tpu import checkpoint
 from align3d_tpu.se3 import Transform, stack
@@ -53,6 +54,7 @@ def test_tum_roundtrip():
     )
 
 
+@pytest.mark.slow
 def test_run_odometry_resume_matches_uninterrupted(sample1_dataset, tmp_path):
     """An aborted odometry run resumed from its checkpoint produces the same
     trajectory as one uninterrupted run (SURVEY §5 failure robustness; the

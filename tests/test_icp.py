@@ -164,6 +164,7 @@ def _plane_pair(rot_deg: float, h=120, w=160):
     return target, source, gt
 
 
+@pytest.mark.slow
 def test_default_tpu_small_motion_banded_ok():
     """Pins the band-radius-2 claim: for ordinary frame-to-frame motion
     (~1.5 deg) the all-banded default_tpu() preset meets the reference
@@ -193,6 +194,7 @@ def test_default_tpu_large_rotation_coarse_exact():
     assert abs(float(err.angle)) < 0.01, float(err.angle)
 
 
+@pytest.mark.slow
 def test_pcl_icp_align_banded_engine(sample1_dataset):
     """The banded Pallas NN engine (sorted-space point-to-plane payload
     association, interpret mode on CPU) meets the same reference bound and

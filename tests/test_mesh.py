@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from align3d_tpu.config import ref_data_path
 from align3d_tpu.ops.mesh import compute_vertex_normals, face_normals
@@ -126,6 +127,7 @@ def _grid_mesh(side=48):
     return pts, np.concatenate(faces).astype(np.int32)
 
 
+@pytest.mark.slow
 def test_mesh_normals_banded_matches_gather_grid():
     """The banded Pallas kernel (interpret mode on CPU) == the gather path
     on a band-coherent grid mesh, including NaN isolation behavior."""

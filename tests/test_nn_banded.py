@@ -1,5 +1,6 @@
 """Banded sorted-grid NN kernel (ops/nn_banded.py) vs brute-force oracle."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +28,7 @@ def test_matches_brute_force_within_cell_ring():
     np.testing.assert_allclose(np.asarray(sq), np.asarray(bsq), atol=5e-6)
 
 
+@pytest.mark.slow
 def test_small_db_smaller_than_band():
     """DBs with fewer padded points than the default band_width (mp <= 384 at
     band_width=512) must clamp the band instead of DMA-ing past the end of
@@ -88,6 +90,7 @@ def test_band_truncation_is_graceful():
     np.testing.assert_allclose(np.asarray(sq2), 0.0, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_recall_on_clustered_cloud():
     """VERDICT r2 weak #3: quantify band-truncation recall on CLUSTERED data
     (the density-cap worst case — clusters overflow the per-band capacity).

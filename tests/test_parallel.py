@@ -6,6 +6,7 @@ within f32-reassociation tolerance (pure DP must not change the math beyond
 reduction ordering).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +74,7 @@ def test_sharded_odometry_matches_single_device():
     assert max_trans < 0.01, max_trans
 
 
+@pytest.mark.slow
 def test_batched_multiscale_matches_sequential():
     intr, colors, depths = _synthetic_sequence(4)
     from align3d_tpu.icp.params import IcpParams, MsIcpParams
@@ -125,6 +127,7 @@ def test_synthetic_alignment_recovers_shift():
     assert np.std(steps) < 5 * abs(np.mean(steps)) + 1e-3
 
 
+@pytest.mark.slow
 def test_sequence_parallel_halo_exchange_matches_single_device():
     """odometry_sequence_parallel (frame axis sharded, ppermute halo) ==
     single-device odometry_step within the same pose-space tolerance."""

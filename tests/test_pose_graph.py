@@ -1,5 +1,6 @@
 """SE(3) log + distributed pose-graph optimization tests (SURVEY phase 5)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -194,6 +195,7 @@ def test_cg_sharded_matches_single():
     )
 
 
+@pytest.mark.slow
 def test_cg_long_sequence_scales():
     """500-pose chain + loop closures: the CG path runs where the dense
     assembly (O(E*N^2) one-hot einsums) would build 9e9-element temporaries.
