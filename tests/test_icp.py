@@ -227,3 +227,54 @@ def test_pcl_icp_align_banded_engine(sample1_dataset):
     ).align(sp, sn)
     rel = abs(float(TransformMetrics.new(banded, hash_t).angle))
     assert rel < 0.02, rel
+
+
+@pytest.mark.slow
+def test_pcl_icp_banded_large_step_resort():
+    """Stale-sort guard (round-4 verdict #4): when a GN iteration moves the
+    cloud by SEVERAL cells (here the first step recovers most of a 0.23 m
+    offset against cell_size=0.05), the banded engine must re-sort instead
+    of silently degrading association. Asserts the trigger fired AND the
+    alignment converges to the known offset."""
+    from align3d_tpu.se3 import Transform
+
+    # Wavy surface with analytic normals.
+    g = np.linspace(0.0, 2.0, 100, dtype=np.float32)
+    xs, ys = np.meshgrid(g, g, indexing="ij")
+    zs = 0.2 * np.sin(2 * xs) * np.cos(2 * ys)
+    tp = np.stack([xs, ys, zs], axis=-1).reshape(-1, 3)
+    dzdx = 0.4 * np.cos(2 * xs) * np.cos(2 * ys)
+    dzdy = -0.4 * np.sin(2 * xs) * np.sin(2 * ys)
+    tn = np.stack([-dzdx, -dzdy, np.ones_like(zs)], axis=-1).reshape(-1, 3)
+    tn /= np.linalg.norm(tn, axis=-1, keepdims=True)
+
+    offset = Transform.exp(
+        jnp.asarray([0.2, 0.1, 0.05, 0.03, -0.02, 0.04], jnp.float32)
+    )
+    sp = np.asarray(offset.apply(jnp.asarray(tp)))
+    sn = np.asarray(offset.apply_normals(jnp.asarray(tn)))
+
+    icp = Icp(
+        IcpParams(max_iterations=8, max_distance=0.5),
+        target_points=tp,
+        target_normals=tn,
+        nn_engine="banded",
+    )
+    result = icp.align(sp, sn)
+    # The per-iteration motion exceeded one cell -> the guard re-sorted.
+    assert icp.last_resorts >= 1, icp.last_resorts
+    err = TransformMetrics.new(result, offset.inverse())
+    assert abs(float(err.angle)) < 0.01, float(err.angle)
+    assert float(err.translation) < 0.01, float(err.translation)
+
+    # Hash engine on the same problem agrees (independent association path).
+    hash_icp = Icp(
+        IcpParams(max_iterations=8, max_distance=0.5),
+        target_points=tp,
+        target_normals=tn,
+        nn_engine="hash",
+    )
+    hash_t = hash_icp.align(sp, sn)
+    assert hash_icp.last_resorts == 0
+    rel = abs(float(TransformMetrics.new(result, hash_t).angle))
+    assert rel < 0.01, rel
