@@ -132,6 +132,18 @@ def _splat(
     return jnp.stack([acc_v, acc_c], axis=0)
 
 
+def _tridiag_121(n: int) -> "np.ndarray":
+    """The one-pass 1-2-1/4 blur stencil as an (n, n) matrix."""
+    import numpy as np
+
+    t = np.zeros((n, n), np.float32)
+    idx = np.arange(n)
+    t[idx, idx] = 0.5
+    t[idx[1:], idx[:-1]] = 0.25
+    t[idx[:-1], idx[1:]] = 0.25
+    return t
+
+
 def _blur_matrix(n: int, mask: "np.ndarray") -> "np.ndarray":
     """The one-axis double-pass blur as a single (n, n) matrix.
 
@@ -143,17 +155,12 @@ def _blur_matrix(n: int, mask: "np.ndarray") -> "np.ndarray":
     """
     import numpy as np
 
-    t = np.zeros((n, n), np.float32)
-    idx = np.arange(n)
-    t[idx, idx] = 0.5
-    t[idx[1:], idx[:-1]] = 0.25
-    t[idx[:-1], idx[1:]] = 0.25
     m = np.diag(mask.astype(np.float32))
-    return m @ t @ m @ t
+    return m @ _tridiag_121(n) @ m @ _tridiag_121(n)
 
 
 @jax.jit
-def _blur(grid: Array) -> Array:
+def _blur(grid: Array, depth_limit: Array) -> Array:
     """3-axis x 2-pass 1-2-1/4 blur with reference interior-only writes.
 
     Channel-major (2, gh, gw, gd) layout. Each axis's two masked passes are
@@ -162,21 +169,32 @@ def _blur(grid: Array) -> Array:
     axes, so they commute through and are applied once after each
     contraction — algebraically identical to the reference's 6-pass
     pointer walk.
+
+    ``depth_limit`` is the frame's TRUE grid depth (the reference's
+    data-dependent sizing, grid.rs:51-54) as a traced scalar; the depth
+    axis's interior exclusion sits at ``depth_limit - 1``, not at the
+    (possibly padded) static ``gd``, so a padded or bucketed depth axis is
+    bitwise-identical to a per-frame-sized grid. The depth-axis matrix
+    M T M T is built traced — one (gd, gd) matmul, ~gd^3 FLOPs, negligible
+    next to the grid contractions it feeds.
     """
     import numpy as np
 
     gh, gw, gd = grid.shape[1:]
     m_h = (np.arange(gh) > 0) & (np.arange(gh) < gh - 1)
     m_w = (np.arange(gw) > 0) & (np.arange(gw) < gw - 1)
-    m_d = np.arange(gd) < gd - 1
-    interior = jnp.asarray(
-        (m_h[:, None, None] & m_w[None, :, None] & m_d[None, None, :]),
-        grid.dtype,
+    m_d = (
+        jnp.arange(gd) < jnp.asarray(depth_limit, jnp.int32) - 1
+    ).astype(grid.dtype)
+    interior = (
+        jnp.asarray((m_h[:, None] & m_w[None, :]), grid.dtype)[..., None]
+        * m_d
     )[None]
 
     a_h = jnp.asarray(_blur_matrix(gh, m_h))
     a_w = jnp.asarray(_blur_matrix(gw, m_w))
-    a_d = jnp.asarray(_blur_matrix(gd, m_d))
+    t_d = jnp.asarray(_tridiag_121(gd))
+    a_d = m_d[:, None] * (t_d @ (m_d[:, None] * t_d))
 
     out = grid
     out = jnp.einsum("ah,chwd->cawd", a_h, out,
@@ -434,6 +452,44 @@ def _slice_fused(
     return out.reshape(n_groups * width, w)[inv]
 
 
+def plan_depth_buckets(
+    color_min,
+    color_max,
+    sigma_color: float,
+    quantum: int = 16,
+) -> list[tuple[int, "np.ndarray", "np.ndarray"]]:
+    """Host-side grid-depth bucket plan for a heterogeneous-span frame batch.
+
+    ``color_min``/``color_max`` are per-frame HOST values (the nonzero
+    minimum and the maximum, as :meth:`BilateralGrid.from_image` uses).
+    Each frame's true grid depth is the reference's per-frame sizing
+    (``int((max-min)/sigma_color) + 1 + 2*pad``, grid.rs:51-54, computed
+    here in f64 exactly as ``from_image`` does so the traced
+    ``depth_limit`` matches it bitwise); frames are grouped by that depth
+    rounded up to ``quantum`` so each bucket compiles once.
+
+    Returns ``[(static_grid_depth, frame_indices, true_depth_limits), ...]``
+    sorted by depth — feed to :meth:`BilateralFilter.filter_static_buckets`.
+    """
+    import numpy as np
+
+    cmin = np.asarray(color_min, np.float64).reshape(-1)
+    cmax = np.asarray(color_max, np.float64).reshape(-1)
+    true_gd = np.array(
+        [
+            int((hi - lo) / sigma_color) + 1 + 2 * _COLOR_PAD
+            for lo, hi in zip(cmin, cmax)
+        ],
+        np.int32,
+    )
+    bucket_gd = -(-true_gd // quantum) * quantum
+    plan = []
+    for g in np.unique(bucket_gd):
+        idx = np.nonzero(bucket_gd == g)[0].astype(np.int32)
+        plan.append((int(g), idx, true_gd[idx]))
+    return plan
+
+
 @dataclasses.dataclass
 class BilateralGrid:
     """Built grid + metadata (mirrors reference ``BilateralGrid``).
@@ -447,6 +503,11 @@ class BilateralGrid:
     sigma_space: float
     sigma_color: float
     color_min: Array  # scalar, original dtype
+    # True (reference-sized, grid.rs:51-54) grid depth as a traced scalar;
+    # positions the blur's top-of-range interior exclusion so a padded or
+    # bucketed static depth axis stays bitwise-identical to a per-frame-sized
+    # grid. None means "the static axis IS the true depth".
+    depth_limit: Array | None = None
 
     @property
     def data(self) -> Array:
@@ -468,11 +529,15 @@ class BilateralGrid:
         color_min = jnp.min(image)
         color_max = jnp.max(image)
         diff = float(color_max) - float(color_min)  # host sync, sizes the grid
-        gd = int(diff / sigma_color) + 1 + 2 * _COLOR_PAD
+        true_gd = int(diff / sigma_color) + 1 + 2 * _COLOR_PAD
+        gd = true_gd
         if pad_depth_to > 1:
             gd = -(-gd // pad_depth_to) * pad_depth_to
         data = _splat(image, color_min, (gh, gw, gd), sigma_space, sigma_color)
-        return cls(data, sigma_space, sigma_color, color_min)
+        return cls(
+            data, sigma_space, sigma_color, color_min,
+            depth_limit=jnp.int32(true_gd),
+        )
 
     @classmethod
     def from_image_static(
@@ -482,6 +547,7 @@ class BilateralGrid:
         grid_depth: int,
         sigma_space: float,
         sigma_color: float,
+        depth_limit: Array | None = None,
     ) -> "BilateralGrid":
         """Jit-safe grid build with a CALLER-FIXED depth-axis size.
 
@@ -489,9 +555,12 @@ class BilateralGrid:
         (grid.rs:51-54) — a data-dependent shape, which :meth:`from_image`
         reproduces with a host sync. Under ``jit`` shapes must be static
         (SURVEY §7 hard part 2), so here the caller supplies ``grid_depth``
-        (≥ (max−min)/σc + 1 + 2·pad for exact parity; values above the true
-        range only waste memory, never change the result) and a traced
-        ``color_min``.
+        (≥ (max−min)/σc + 1 + 2·pad; values above the true range only waste
+        memory) and a traced ``color_min``. For bitwise parity with the
+        reference's per-frame sizing also pass ``depth_limit`` — the frame's
+        TRUE grid depth as a traced scalar (``_blur`` positions its
+        top-of-range interior exclusion there); without it the exclusion
+        sits at the padded top, which can differ at max-depth pixels.
         """
         image = jnp.asarray(image)
         h, w = image.shape
@@ -500,7 +569,7 @@ class BilateralGrid:
         data = _splat(
             image, color_min, (gh, gw, int(grid_depth)), sigma_space, sigma_color
         )
-        return cls(data, sigma_space, sigma_color, color_min)
+        return cls(data, sigma_space, sigma_color, color_min, depth_limit)
 
     @property
     def dim(self) -> tuple[int, int, int, int]:
@@ -508,7 +577,10 @@ class BilateralGrid:
         return (gh, gw, gd, c)
 
     def convolve(self) -> "BilateralGrid":
-        return dataclasses.replace(self, data_cm=_blur(self.data_cm))
+        limit = self.depth_limit
+        if limit is None:
+            limit = jnp.int32(self.data_cm.shape[3])
+        return dataclasses.replace(self, data_cm=_blur(self.data_cm, limit))
 
     def normalize(self) -> "BilateralGrid":
         return dataclasses.replace(self, data_cm=_normalize(self.data_cm))
@@ -552,13 +624,66 @@ class BilateralFilter:
         )
         return grid.convolve().normalize().slice(image)
 
-    def filter_static(self, image: Array, color_min: Array, grid_depth: int) -> Array:
+    def filter_static(
+        self,
+        image: Array,
+        color_min: Array,
+        grid_depth: int,
+        depth_limit: Array | None = None,
+    ) -> Array:
         """Jit-safe :meth:`filter` with caller-fixed grid depth (see
         :meth:`BilateralGrid.from_image_static`)."""
         grid = BilateralGrid.from_image_static(
-            image, color_min, grid_depth, self.sigma_space, self.sigma_color
+            image, color_min, grid_depth, self.sigma_space, self.sigma_color,
+            depth_limit,
         )
         return grid.convolve().normalize().slice(image)
+
+    def filter_static_buckets(
+        self,
+        images: Array,
+        color_min: Array,
+        plan: list[tuple[int, "np.ndarray", "np.ndarray"]],
+    ) -> Array:
+        """Batch frames with HETEROGENEOUS depth spans.
+
+        The grid's depth axis is a static shape on TPU, but the reference
+        sizes it per frame (grid.rs:51-54) — so one static axis sized for
+        the union span explodes on mixed-scale series (sample1+sample2 would
+        need gd~1074: a 20 GB intermediate at batch 65). Instead the caller
+        plans gd BUCKETS on the host (:func:`plan_depth_buckets`) and this
+        runs one vmapped :meth:`filter_static` per bucket — static index
+        gathers, jit-safe — with each frame's traced ``depth_limit``
+        positioning the blur exclusion at its TRUE grid depth, so every
+        frame's output is bitwise-identical to its own per-frame-sized
+        filter. Per-bucket sub-chunks bound peak grid memory to roughly the
+        proven batch-64 @ gd 144 real-series footprint.
+
+        ``images``: (B, H, W); ``color_min``: (B,) traced.
+        """
+        b = images.shape[0]
+        chunks: list[tuple["np.ndarray", Array]] = []
+        for grid_depth, idx, limits in plan:
+            # ~64 frames at gd 144 ≈ the proven real-series peak footprint.
+            step = max(1, (64 * 144) // int(grid_depth))
+            for s in range(0, len(idx), step):
+                sub = idx[s : s + step]
+                out = jax.vmap(
+                    lambda im, cm, dl: self.filter_static(
+                        im, cm, grid_depth, dl
+                    )
+                )(
+                    images[sub],
+                    color_min[sub],
+                    jnp.asarray(limits[s : s + step], jnp.int32),
+                )
+                chunks.append((sub, out))
+        import numpy as np
+
+        order = np.concatenate([sub for sub, _ in chunks])
+        inv = np.empty(b, np.int64)
+        inv[order] = np.arange(b)
+        return jnp.concatenate([out for _, out in chunks], axis=0)[inv]
 
     def scale_down(self, image: Array) -> Array:
         """Filter then stride-2 decimate (edge_aware_filter.rs:137-147)."""

@@ -183,6 +183,95 @@ def test_filter_static_matches_dynamic(bloei_luma16):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_depth_limit_positions_blur_exclusion():
+    """Padded depth axis + traced depth_limit reproduces the reference's
+    per-frame-sized grid: the sliced output matches bitwise AND the blurred
+    grid CONTENT matches — channels >= true_gd-1 are zeroed exactly where
+    the reference's top-of-range interior exclusion sits, not at the padded
+    top. (The sliced output alone cannot tell the two apart: the slice z
+    coordinate carries no +0.5, so z1 <= true_gd-2 and the top channel is
+    never sampled — the limit is about grid parity for anyone reading
+    ``BilateralGrid.data``, and about keeping the bucketed batch exactly
+    the reference computation, not an output-equivalent variant.)"""
+    import jax
+
+    from align3d_tpu.ops.bilateral import _blur
+
+    rng = np.random.default_rng(3)
+    img = (1000 + rng.integers(0, 131, size=(64, 64))).astype(np.uint16)
+    img[0, 0], img[0, 1] = 1000, 1138  # span 138: 138/30 = 4.6
+    img = jnp.asarray(img)
+    filt = BilateralFilter(pad_depth_to=1)
+    exact = np.asarray(filt.filter(img))
+
+    gd_true = int((1138 - 1000) / filt.sigma_color) + 1 + 4
+    gd_pad = 16
+    with_limit = np.asarray(
+        jax.jit(lambda im, cm, dl: filt.filter_static(im, cm, gd_pad, dl))(
+            img, jnp.min(img), jnp.int32(gd_true)
+        )
+    )
+    np.testing.assert_array_equal(with_limit, exact)
+
+    # Grid-content check: blur with the traced limit zeroes channels
+    # >= true_gd-1 (reference exclusion position); without it, channel
+    # true_gd-1 keeps blurred-in mass and only the padded top is zeroed.
+    grid = BilateralGrid.from_image_static(
+        img, jnp.min(img), gd_pad, filt.sigma_space, filt.sigma_color
+    ).data_cm
+    ref_sized = np.asarray(
+        _blur(grid[..., :gd_true], jnp.int32(gd_true))
+    )
+    limited = np.asarray(_blur(grid, jnp.int32(gd_true)))
+    unlimited = np.asarray(_blur(grid, jnp.int32(gd_pad)))
+    np.testing.assert_array_equal(limited[..., :gd_true], ref_sized)
+    assert not limited[..., gd_true - 1 :].any()
+    assert unlimited[..., gd_true - 1].any()
+
+
+def test_filter_static_buckets_bitwise(bloei_luma16):
+    """Heterogeneous-span batch through gd buckets == each frame's own
+    per-frame-sized filter, bitwise (the reference's per-frame sizing,
+    grid.rs:51-54, restored at batch granularity)."""
+    from align3d_tpu.ops.bilateral import plan_depth_buckets
+
+    rng = np.random.default_rng(0)
+    h, w = 96, 128
+    base = np.asarray(bloei_luma16[:h, :w], np.int64)
+    span = base.max() - base.min()
+    frames = np.stack(
+        [
+            base,  # natural span
+            base // 4 + 500,  # narrow span
+            (base * 10) + rng.integers(0, 50, size=(h, w)),  # ~10x span
+        ]
+    ).astype(np.uint16)
+    frames[2, :2, :2] = 0  # holes: nonzero-min semantics
+    nz = np.where(frames > 0, frames, np.uint16(65535))
+    cmin = nz.reshape(3, -1).min(axis=1)
+    cmax = frames.reshape(3, -1).max(axis=1)
+
+    filt = BilateralFilter(pad_depth_to=1)
+    plan = plan_depth_buckets(cmin, cmax, filt.sigma_color, quantum=16)
+    assert len(plan) >= 2, "spans should land in distinct gd buckets"
+    batched = np.asarray(
+        filt.filter_static_buckets(
+            jnp.asarray(frames), jnp.asarray(cmin), plan
+        )
+    )
+    for i in range(3):
+        gd_true = int((int(cmax[i]) - int(cmin[i])) / filt.sigma_color) + 1 + 4
+        single = np.asarray(
+            filt.filter_static(
+                jnp.asarray(frames[i]),
+                jnp.asarray(cmin[i]),
+                gd_true,
+                jnp.int32(gd_true),
+            )
+        )
+        np.testing.assert_array_equal(batched[i], single, err_msg=f"frame {i}")
+
+
 def test_slice_fused_matches_xla(bloei_luma16):
     """The Pallas slice kernel (interpret mode on CPU) == the XLA slice
     oracle on a real image, bit-exactly (same arithmetic, same order)."""
