@@ -24,13 +24,7 @@ NFRAMES = int(__import__("os").environ.get("ODO_NFRAMES", "9"))  # pairs = NFRAM
 def _real_frames():
     """65 real sample1 frames (forward + palindrome + wrap = 64 adjacent
     pairs, every one a distinct real RGB-D pair) -> (colors (65,H,W,3) u8,
-    depths (65,H,W) u16, intrinsics, depth_scale).
-
-    sample1 only: sample2's raw depth sits at ~10x the u16 range (span
-    22,500 vs 3,785), and mixing it into one batched series blows the
-    bilateral grid's static depth axis to gd~1074 (a 20 GB intermediate at
-    batch 65 — the reference sizes its grid per frame from min/max,
-    grid.rs:51-54, so it never sees a cross-scale span either)."""
+    depths (65,H,W) u16, intrinsics, depth_scale)."""
     import numpy as np
 
     from align3d_tpu import config
@@ -45,28 +39,69 @@ def _real_frames():
     return colors, depths, frames[0].camera, float(frames[0].image.depth_scale)
 
 
+def _mixed_frames():
+    """65 frames MIXING sample1 (raw depth span ~3,800, grid depth ~68-131)
+    with sample2 (span ~22,500, grid depth ~745) — the heterogeneous-scale
+    series a union-span static grid axis cannot batch (gd~1074 = a 20 GB
+    intermediate at batch 65). The bilateral stage runs per-frame-sized gd
+    BUCKETS (plan_depth_buckets), i.e. the reference's per-frame sizing,
+    grid.rs:51-54, restored at batch granularity."""
+    import numpy as np
+
+    from align3d_tpu import config
+    from align3d_tpu.io.datasets.slamtb import SlamTbDataset
+
+    ds1 = SlamTbDataset.load(config.ref_data_path("rgbd", "sample1"))
+    ds2 = SlamTbDataset.load(config.ref_data_path("rgbd", "sample2"))
+    f1 = [ds1.get(i) for i in range(len(ds1))]  # 31
+    f2 = [ds2.get(i) for i in range(len(ds2))]  # 15
+    frames = f1 + f2 + f2[-2::-1]  # 31 + 15 + 14 = 60
+    frames = frames + f1[: 65 - len(frames)]  # 65 = 64 pairs
+    colors = np.stack([np.asarray(f.image.color) for f in frames])
+    depths = np.stack([np.asarray(f.image.depth) for f in frames])
+    return colors, depths, frames[0].camera, float(frames[0].image.depth_scale)
+
+
+def _bucket_plan(depths_np, filt):
+    """Host-side per-frame-sized gd bucket plan (grid.rs:51-54 at batch
+    granularity) from a numpy depth series."""
+    import numpy as np
+
+    from align3d_tpu.ops.bilateral import plan_depth_buckets
+
+    nz = np.where(depths_np > 0, depths_np, np.uint16(65535))
+    cmin = nz.reshape(len(depths_np), -1).min(axis=1)
+    cmax = depths_np.reshape(len(depths_np), -1).max(axis=1)
+    return plan_depth_buckets(cmin, cmax, filt.sigma_color, quantum=16)
+
+
 def run_series(label, colors, depths, intr, depth_scale, params):
     """Slope-timed e2e pipeline over one frame series; returns
     (ms_per_frame, ms_per_frame_bilateral_on)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from align3d_tpu.ops.bilateral import BilateralFilter
     from align3d_tpu.parallel import batch as pbatch
     from align3d_tpu.se3 import Transform
     from align3d_tpu.trajectory import accumulate_scan
 
+    depths_np = np.asarray(depths)
     colors = jnp.asarray(colors)
     depths = jnp.asarray(depths)
     b = colors.shape[0] - 1
 
     # Bilateral variant: the full reference-README pipeline (README.md:44-113
     # enables the filter for the published bedroom-20 anchor). The grid's
-    # range axis is sized for the series' actual depth span.
+    # range axis uses per-frame-sized gd buckets — the reference's per-frame
+    # sizing (grid.rs:51-54) at batch granularity; each frame's result is
+    # bitwise its own per-frame-sized filter (tests/test_bilateral.py).
     filt = BilateralFilter()
-    nz = jnp.where(depths > 0, depths, jnp.uint16(65535))
-    gd_static = (
-        int((int(depths.max()) - int(nz.min())) / filt.sigma_color) + 1 + 4
+    plan = _bucket_plan(depths_np, filt)
+    log(
+        f"[{label}] gd buckets: "
+        + ", ".join(f"{g}x{len(idx)}" for g, idx, _ in plan)
     )
 
     def pipeline(colors_in, depths_in, initial, with_bilateral=False):
@@ -75,9 +110,7 @@ def run_series(label, colors, depths, intr, depth_scale, params):
                 jnp.where(depths_in > 0, depths_in, jnp.uint16(65535)),
                 axis=(1, 2),
             )
-            depths_in = jax.vmap(
-                lambda d, cm: filt.filter_static(d, cm, gd_static)
-            )(depths_in, cmin)
+            depths_in = filt.filter_static_buckets(depths_in, cmin, plan)
         pyr = pbatch.build_pyramids_batched(
             intr, depth_scale, colors_in, depths_in, pyramid_levels=3
         )
@@ -108,11 +141,126 @@ def run_series(label, colors, depths, intr, depth_scale, params):
     ms_b = marginal_ms(make_step(True), jnp.float32(0.0), lo=3, hi=6, calls=3)
     ms_b_frame = ms_b / b
     log(
-        f"[{label}] odometry e2e + bilateral (gd={gd_static}): {ms_b:.2f} ms per "
+        f"[{label}] odometry e2e + bilateral (bucketed): {ms_b:.2f} ms per "
         f"{b}-pair step ({ms_b_frame:.3f} ms/frame, "
         f"{1000.0 / ms_b_frame:.0f} frames/s/chip)"
     )
     return ms_per_frame, ms_b_frame
+
+
+def run_bilateral_split(label, depths_np):
+    """Stage split of the IN-PIPELINE bilateral cost at full batch: cmin /
+    splat / blur / normalize+slice, per frame, both at the series' union-gd
+    (how r3/r4 ran it) and per-frame bucketed. Isolates where the
+    in-pipeline bilateral ms/frame goes (VERDICT r4 weak #1: the isolated
+    filter cost 0.88 ms but the pipeline delta was 1.73)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from align3d_tpu.ops.bilateral import (
+        BilateralFilter,
+        BilateralGrid,
+        _blur,
+        _splat,
+    )
+
+    filt = BilateralFilter()
+    nfrm = len(depths_np)
+    nz = np.where(depths_np > 0, depths_np, np.uint16(65535))
+    gd_union = (
+        int((int(depths_np.max()) - int(nz.min())) / filt.sigma_color) + 1 + 4
+    )
+    depths = jnp.asarray(depths_np)
+    cmin_host = jnp.asarray(nz.reshape(nfrm, -1).min(axis=1))
+
+    def time_stage(name, step, carry0=None):
+        # Big stage inputs ride the CARRY, not the closure: closed-over
+        # device arrays embed as HLO constants and the 1.1 GB grid batch
+        # overflows the remote-compile request (HTTP 413).
+        if carry0 is None:
+            carry0 = jnp.float32(0.0)
+        ms = marginal_ms(step, carry0, lo=3, hi=6, calls=3) / nfrm
+        log(f"[{label}] bilateral split: {name}: {ms:.3f} ms/frame")
+        return ms
+
+    # Perturb inputs through the carry so the fori body can't be hoisted.
+    def dep_u16(acc):
+        return (acc * 0).astype(jnp.uint16)
+
+    def cmin_step(_, acc):
+        cm = jnp.min(
+            jnp.where(depths > 0, depths + dep_u16(acc), jnp.uint16(65535)),
+            axis=(1, 2),
+        )
+        return acc + jnp.sum(cm.astype(jnp.float32)) * 1e-12
+
+    time_stage("cmin reduce", cmin_step)
+
+    def splat_step(_, acc):
+        g = jax.vmap(
+            lambda d, cm: _splat(
+                d, cm, (111, 147, gd_union), filt.sigma_space, filt.sigma_color
+            )
+        )(depths + dep_u16(acc), cmin_host)
+        return acc + g[0, 0, 0, 0, 0] * 1e-12
+
+    time_stage(f"splat (union gd={gd_union})", splat_step)
+
+    grids = jax.vmap(
+        lambda d, cm: _splat(
+            d, cm, (111, 147, gd_union), filt.sigma_space, filt.sigma_color
+        )
+    )(depths, cmin_host)
+    grids = jax.block_until_ready(grids)
+
+    def blur_step(_, carry):
+        acc, gr = carry
+        g = jax.vmap(lambda g_: _blur(g_, jnp.int32(gd_union)))(gr + acc * 0)
+        return (acc + g[0, 0, 0, 0, 0] * 1e-12, gr)
+
+    time_stage(
+        "blur (3-axis banded matmuls)", blur_step, (jnp.float32(0.0), grids)
+    )
+
+    blurred = jax.block_until_ready(
+        jax.vmap(lambda g: _blur(g, jnp.int32(gd_union)))(grids)
+    )
+
+    def slice_step(_, carry):
+        acc, bl = carry
+
+        def one(g, d, cm):
+            bg = BilateralGrid(
+                g, filt.sigma_space, filt.sigma_color, cm, None
+            ).normalize()
+            return bg.slice(d)
+
+        out = jax.vmap(one)(bl + acc * 0, depths, cmin_host)
+        return (
+            acc + jnp.sum(out[0, 0, :1].astype(jnp.float32)) * 1e-12,
+            bl,
+        )
+
+    time_stage("normalize+slice", slice_step, (jnp.float32(0.0), blurred))
+
+    def full_union_step(_, acc):
+        out = jax.vmap(
+            lambda d, cm: filt.filter_static(d, cm, gd_union)
+        )(depths + dep_u16(acc), cmin_host)
+        return acc + jnp.sum(out[0, 0, :1].astype(jnp.float32)) * 1e-12
+
+    time_stage(f"FULL filter, union gd={gd_union}", full_union_step)
+
+    plan = _bucket_plan(depths_np, filt)
+
+    def full_bucket_step(_, acc):
+        out = filt.filter_static_buckets(
+            depths + dep_u16(acc), cmin_host, plan
+        )
+        return acc + jnp.sum(out[0, 0, :1].astype(jnp.float32)) * 1e-12
+
+    time_stage("FULL filter, per-frame gd buckets", full_bucket_step)
 
 
 def main() -> int:
@@ -156,6 +304,14 @@ def main() -> int:
         ms_frame, _ = run_series(
             "real 64 pairs", rc, rd, rintr, rscale, params
         )
+        run_bilateral_split("real 64 pairs", np.asarray(rd))
+        # Heterogeneous-scale series: sample1 (~gd 68-131) + sample2
+        # (~gd 745) in ONE batch via per-frame gd buckets — impossible with
+        # a union-span static axis (gd~1074). depth_scale is sample1's;
+        # sample2's differs (0.0002) but this is a throughput series, the
+        # per-frame filter outputs are exact either way (scale-independent).
+        mc, md, mintr, mscale = _mixed_frames()
+        run_series("MIXED sample1+sample2 64 pairs", mc, md, mintr, mscale, params)
     else:
         log("reference fixtures unavailable; headline falls back to synthetic")
 
