@@ -316,53 +316,120 @@ def _slice(
     return out_g.reshape(n_groups * width, w)[inv]
 
 
-def _slice_kernel(p0_ref, p1_ref, pix_ref, out_ref, *, width: int):
-    """One image-row group: trilinear sample of (gdp, w) planes.
+def _slice_kernel(
+    u_ref, chan_ref, ya_ref, xp_ref, out_ref, band, sems, *, width: int, gd: int
+):
+    """One (frame, image-row-group) step: trilinear sample via LANE-gathers.
 
-    z sits on SUBLANES, pixels on LANES, so the per-row one-hot z-select is
-    a (gdp, w) compare + a sublane reduce — no relayouts, no gathers, and
-    (unlike the XLA form at large batch) no HBM-materialized (width, w, gd)
-    intermediate: the planes are read once into VMEM per group.
+    The x-lerped planes are stored TRANSPOSED — pixels on sublanes, z on
+    lanes — so the per-pixel z lookup is ``take_along_axis`` along lanes
+    (the TPU's native dynamic shuffle, the same primitive the v4 ICP
+    association uses; a sublane gather is not supported by Mosaic, and the
+    r4 kernel's dense (gdp, w) one-hot reduce per row cost ~10 vector ops
+    per z-channel). All ``width`` rows of the group ride ONE gather: lane
+    slot r holds row r's z0 index and slot 8+r its z1, so two takes per
+    128-channel block fetch every (row, corner) pair's value for both the
+    p0 and the p1-p0 plane.
+
+    Layout notes, all for HBM efficiency at batch 64:
+    * the group's two consecutive grid rows (y1 is always y0+1: the
+      spatial pad keeps the clip from ever binding) arrive by
+      double-buffered DMA from the ANY-memory plane stack — XLA-side
+      per-group row slabs cost 2 x 2 GB (OOM);
+    * the frame axis is an explicit grid dimension (vmap over an
+      ANY-memory operand is not lowerable);
+    * the per-pixel input is ONE row-major f32 channel (the continuous z
+      coordinate ``chan``; z0/z1/za derive in-kernel with the exact XLA
+      expressions) and the output is row-major (width, w) — lane-minor
+      (w, 8) HBM layouts physically pad 8 -> 128 lanes (16x memory blowup,
+      OOM at batch 64), so both transposes happen in VMEM instead.
     """
-    p0 = p0_ref[0]  # (gdp, w)
-    pd = p1_ref[0] - p0  # hoisted: pm = p0 + ya*pd per row
-    gdp = p0.shape[0]
-    w = p0.shape[1]
-    kk = jax.lax.broadcasted_iota(jnp.int32, (gdp, w), 0)
-    for r in range(width):
-        z0 = pix_ref[0, 0, r : r + 1, :]  # (1, w) f32 (holds an int value)
-        z1 = pix_ref[0, 1, r : r + 1, :]
-        za = pix_ref[0, 2, r : r + 1, :]
-        ya = pix_ref[0, 3, r : r + 1, :]
-        kz0 = z0.astype(jnp.int32)
-        kz1 = z1.astype(jnp.int32)
-        wz = jnp.where(kk == kz0, 1.0 - za, 0.0) + jnp.where(
-            kk == kz1, za, 0.0
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    n = pl.num_programs(1)
+    last = (b + 1 == pl.num_programs(0)) & (g + 1 == n)
+
+    def dma(slot, bi, gi):
+        return pltpu.make_async_copy(
+            xp_ref.at[bi, pl.ds(u_ref[gi], 2)], band.at[slot], sems.at[slot]
         )
-        pm = p0 + ya * pd
-        out_ref[0, r : r + 1, :] = jnp.sum(wz * pm, axis=0, keepdims=True)
+
+    @pl.when((b == 0) & (g == 0))
+    def _():
+        dma(0, 0, 0).start()
+
+    @pl.when(~last)
+    def _():
+        nxt = g + 1
+        dma(
+            jax.lax.rem(b * n + g + 1, 2),
+            jnp.where(nxt == n, b + 1, b),
+            jax.lax.rem(nxt, n),
+        ).start()
+
+    slot = jax.lax.rem(b * n + g, 2)
+    dma(slot, b, g).wait()
+
+    p0 = band[slot, 0]  # (w, gdp) — z on lanes
+    pd = band[slot, 1] - p0
+    w, gdp = p0.shape
+    chan = chan_ref[0, 0].T  # (8, w) -> (w, 8); slots >= width: junk
+    ya = jnp.broadcast_to(ya_ref[0, 0], (w, 8))  # per-row y lerp weight
+    z0 = jnp.clip(chan.astype(jnp.int32), 0, gd - 1)
+    z1 = jnp.clip((chan + 1.0).astype(jnp.int32), 0, gd - 1)
+    za = chan - z0.astype(jnp.float32)
+
+    idx = jnp.concatenate([z0, z1], axis=1)  # (w, 16): [z0 rows | z1 rows]
+    nb = gdp // 128
+    g0 = jnp.zeros((w, 16), jnp.float32)
+    g1 = jnp.zeros((w, 16), jnp.float32)
+    for blk in range(nb):
+        # Mosaic's take_along_axis wants index shape == data shape: carry
+        # the 16 live slots inside a 128-wide index (extra lanes gather
+        # block-local 0, discarded).
+        lidx = jnp.clip(
+            jnp.pad(idx, ((0, 0), (0, 112))) - blk * 128, 0, 127
+        )
+        t0 = jnp.take_along_axis(
+            p0[:, blk * 128 : (blk + 1) * 128], lidx, axis=1
+        )
+        t1 = jnp.take_along_axis(
+            pd[:, blk * 128 : (blk + 1) * 128], lidx, axis=1
+        )
+        if nb == 1:
+            g0, g1 = t0[:, :16], t1[:, :16]
+        else:
+            hit = (idx >= blk * 128) & (idx < (blk + 1) * 128)
+            g0 = jnp.where(hit, t0[:, :16], g0)
+            g1 = jnp.where(hit, t1[:, :16], g1)
+    a0, a1 = g0[:, 0:8], g0[:, 8:16]
+    b0, b1 = g1[:, 0:8], g1[:, 8:16]
+    out = (1.0 - za) * (a0 + ya * b0) + za * (a1 + ya * b1)  # (w, 8)
+    out_ref[0, 0] = out.T  # row-major (8, w)
 
 
 @partial(jax.jit, static_argnames=("sigma_space", "sigma_color", "interpret"))
-def _slice_fused(
-    grid: Array,
-    image: Array,
-    color_min: Array,
+def _slice_fused_batched(
+    grids: Array,  # (B, 2, gh, gw, gd) channel-major grids
+    images: Array,  # (B, H, W)
+    color_min: Array,  # (B,)
     sigma_space: float,
     sigma_color: float,
     interpret: bool = False,
 ) -> Array:
-    """Pallas form of :func:`_slice` (identical semantics, same group
-    decomposition): the static spatial corner planes are still built by XLA,
-    but the per-pixel z one-hot reduce runs in a kernel over row groups with
-    the planes resident in VMEM. At realistic depth spans (gd >~ 130) the
-    XLA form's fused (G, width, w, gd) intermediate stops fitting in
-    registers/VMEM and spills to HBM — the kernel caps that traffic at one
-    plane read per group regardless of gd or batch."""
+    """Pallas form of :func:`_slice` over a BATCH of frames (identical
+    semantics, same row-group decomposition): the static spatial corner
+    planes are built by one XLA MXU contraction, then the per-pixel z
+    lookup runs in the lane-gather kernel (:func:`_slice_kernel`) over a
+    (frame, row-group) grid. The frame axis must be an explicit grid
+    dimension — vmap over the kernel's ANY-memory plane stack is not
+    lowerable — which is why this is the batched entry and
+    :func:`_slice_fused` the B=1 wrapper."""
     import numpy as np
 
-    gh, gw, gd = grid.shape[1:]
-    h, w = image.shape
+    bsz = grids.shape[0]
+    gh, gw, gd = grids.shape[2:]
+    h, w = images.shape[1:]
     inv_ss = 1.0 / sigma_space
     inv_sc = 1.0 / sigma_color
 
@@ -377,17 +444,21 @@ def _slice_fused(
     y0, y1, ya = np_axis_indices(rowf, gh)
     x0, x1, xa = np_axis_indices(colf, gw)
 
+    # The continuous z coordinate only; z0/z1/za derive in-kernel with the
+    # exact same expressions the XLA oracle uses (bitwise-equal indices).
     chan = (
-        image.astype(jnp.float32) - color_min.astype(jnp.float32)
+        images.astype(jnp.float32) - color_min.astype(jnp.float32)[:, None, None]
     ) * inv_sc + _COLOR_PAD
-    z0 = jnp.clip(chan.astype(jnp.int32), 0, gd - 1)
-    z1 = jnp.clip((chan + 1.0).astype(jnp.int32), 0, gd - 1)
-    za = chan - z0.astype(jnp.float32)
 
     uniq = np.unique(y0)
     slot_of = {int(g): i for i, g in enumerate(uniq)}
     n_groups = len(uniq)
     width = int(np.max(np.bincount([slot_of[int(g)] for g in y0])))
+    if width > 8:  # lane-slot pack holds [z0 rows | z1 rows] in 16 lanes
+        raise NotImplementedError(
+            f"_slice_fused supports <=8 image rows per grid row "
+            f"(sigma_space >= ~1); got {width}"
+        )
     row_of = np.zeros((n_groups, width), np.int32)
     used = np.zeros((n_groups, width), bool)
     fill = [0] * n_groups
@@ -397,59 +468,100 @@ def _slice_fused(
         used[s, fill[s]] = True
         fill[s] += 1
     y1_g = np.clip(uniq + 1, 0, gh - 1)
+    assert np.array_equal(y1_g, uniq + 1), "spatial pad keeps y1 = y0 + 1"
 
-    gdp = -(-gd // 8) * 8
-    val = grid[0]  # (gh, gw, gd)
+    # z on LANES in 128-channel blocks. The DMA that stages each group's
+    # two plane rows must be 128-lane aligned, and XLA tiles the HBM
+    # buffer's lane dim to 128 regardless — the logical pad costs no
+    # extra memory.
+    gdp = -(-gd // 128) * 128
 
     # x-lerp as ONE MXU contraction with a constant (gw, w) selection-lerp
-    # matrix (<=2 nonzeros per column: 1-xa at x0, xa at x1) — the lane-gather
-    # form cost 0.76 ms/frame at batch 64, this is a ~1.4 GMAC matmul.
+    # matrix (<=2 nonzeros per column: 1-xa at x0, xa at x1) — the lane-
+    # gather form cost 0.76 ms/frame at batch 64, this is a ~1.4 GMAC
+    # matmul. Output layout (gh, w, gd): pixels on sublanes, z on lanes,
+    # feeding the lane-gather kernel with no relayout.
     s_mat = np.zeros((gw, w), np.float32)
     s_mat[x0, np.arange(w)] += 1.0 - xa
     s_mat[x1, np.arange(w)] += xa
+    # Pad gd on the INPUT so the contraction emits (B, gh, w, gdp) directly:
+    # padding the output instead materialized a second full-size plane
+    # stack (2 x 3.6 GB at batch 64) and OOM'd.
+    val = jnp.pad(grids[:, 0], ((0, 0), (0, 0), (0, 0), (0, gdp - gd)))
     xp_all = jnp.einsum(
-        "hgd,gw->hdw",
+        "bhgd,gw->bhwd",
         val,
         jnp.asarray(s_mat),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (gh, gd, w) — full-f32 contraction so the fused path matches the
-    # XLA oracle's elementwise lerp (default bf16 rounding would drift ~2^-9
-    # on raw depth magnitudes); contraction is small, cost negligible.
-    xp_all = jnp.pad(xp_all, ((0, 0), (0, gdp - gd), (0, 0)))
-    p0 = xp_all[uniq]  # (G, gdp, w) — static row-slab gathers (copies)
-    p1 = xp_all[y1_g]
+    )  # (B, gh, w, gdp) — full-f32 contraction so the fused path matches
+    # the XLA oracle's elementwise lerp (default bf16 rounding would drift
+    # ~2^-9 on raw depth magnitudes); contraction is small, cost negligible.
 
-    wya = jnp.asarray(ya, jnp.float32)[row_of]  # (G, width)
-    pix = jnp.stack(
-        [
-            z0[row_of].astype(jnp.float32),
-            z1[row_of].astype(jnp.float32),
-            za[row_of],
-            jnp.broadcast_to(wya[..., None], (n_groups, width, w)),
-        ],
-        axis=1,
-    )  # (G, 4, width, w)
+    # Row-major per-pixel pack: (B, G, 8, w) — last dim w keeps the HBM
+    # lane tiling dense (a (.., w, 8) layout physically pads 8 -> 128
+    # lanes: a 16x memory blowup that OOM'd batch 64). Slot rows >= width
+    # hold chan of row 0 (junk, discarded by the output slice).
+    chan_pack = jnp.pad(
+        chan[:, row_of],
+        ((0, 0), (0, 0), (0, 8 - width), (0, 0)),
+    )  # (B, G, 8, w)
+    ya_pack = jnp.pad(
+        jnp.asarray(ya, jnp.float32)[row_of][:, None, :],
+        ((0, 0), (0, 0), (0, 8 - width)),
+    )  # (G, 1, 8)
 
-    out = pl.pallas_call(
-        partial(_slice_kernel, width=width),
-        grid=(n_groups,),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, n_groups),
         in_specs=[
-            pl.BlockSpec((1, gdp, w), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, gdp, w), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 4, width, w), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 8, w), lambda b, g, u: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, 8), lambda b, g, u: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, width, w), lambda g: (g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_groups, width, w), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, 8, w), lambda b, g, u: (b, g, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, w, gdp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_slice_kernel, width=width, gd=gd),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_groups, 8, w), jnp.float32),
         interpret=interpret,
-    )(p0, p1, pix)
+    )(
+        jnp.asarray(uniq, jnp.int32),
+        chan_pack,
+        ya_pack,
+        xp_all,
+    )
 
     inv = np.zeros(h, np.int32)
     for s in range(n_groups):
         for t in range(width):
             if used[s, t]:
-                inv[row_of[s, t]] = s * width + t
-    return out.reshape(n_groups * width, w)[inv]
+                inv[row_of[s, t]] = s * 8 + t
+    return out.reshape(bsz, n_groups * 8, w)[:, inv]
+
+
+def _slice_fused(
+    grid: Array,
+    image: Array,
+    color_min: Array,
+    sigma_space: float,
+    sigma_color: float,
+    interpret: bool = False,
+) -> Array:
+    """Single-frame wrapper over :func:`_slice_fused_batched` (B = 1)."""
+    return _slice_fused_batched(
+        grid[None],
+        image[None],
+        jnp.reshape(color_min, (1,)),
+        sigma_space,
+        sigma_color,
+        interpret,
+    )[0]
 
 
 def plan_depth_buckets(
@@ -652,7 +764,7 @@ class BilateralFilter:
         the union span explodes on mixed-scale series (sample1+sample2 would
         need gd~1074: a 20 GB intermediate at batch 65). Instead the caller
         plans gd BUCKETS on the host (:func:`plan_depth_buckets`) and this
-        runs one vmapped :meth:`filter_static` per bucket — static index
+        runs one :meth:`filter_static_batched` per bucket — static index
         gathers, jit-safe — with each frame's traced ``depth_limit``
         positioning the blur exclusion at its TRUE grid depth, so every
         frame's output is bitwise-identical to its own per-frame-sized
@@ -664,17 +776,16 @@ class BilateralFilter:
         b = images.shape[0]
         chunks: list[tuple["np.ndarray", Array]] = []
         for grid_depth, idx, limits in plan:
-            # ~64 frames at gd 144 ≈ the proven real-series peak footprint.
-            step = max(1, (64 * 144) // int(grid_depth))
+            # Budget: the slice's 128-lane-padded plane stack costs
+            # ~gh*w*ceil(gd/128)*512 bytes/frame; ~36 frames at gd 80
+            # keeps the whole batch of live stage buffers well under HBM.
+            step = max(1, 2880 // int(grid_depth))
             for s in range(0, len(idx), step):
                 sub = idx[s : s + step]
-                out = jax.vmap(
-                    lambda im, cm, dl: self.filter_static(
-                        im, cm, grid_depth, dl
-                    )
-                )(
+                out = self.filter_static_batched(
                     images[sub],
                     color_min[sub],
+                    grid_depth,
                     jnp.asarray(limits[s : s + step], jnp.int32),
                 )
                 chunks.append((sub, out))
@@ -684,6 +795,44 @@ class BilateralFilter:
         inv = np.empty(b, np.int64)
         inv[order] = np.arange(b)
         return jnp.concatenate([out for _, out in chunks], axis=0)[inv]
+
+    def filter_static_batched(
+        self,
+        images: Array,  # (B, H, W)
+        color_min: Array,  # (B,)
+        grid_depth: int,
+        depth_limit: Array | None = None,  # (B,) or None
+    ) -> Array:
+        """Batched :meth:`filter_static` at ONE static grid depth.
+
+        splat/blur/normalize vmap per frame; the slice goes through the
+        batched lane-gather kernel (:func:`_slice_fused_batched`) — its
+        ANY-memory plane stack cannot sit under a vmap, so the batch must
+        be explicit here rather than ``vmap(filter_static)``.
+        """
+        if depth_limit is None:
+            depth_limit = jnp.full(
+                (images.shape[0],), grid_depth, jnp.int32
+            )
+
+        def pre(im, cm, dl):
+            g = BilateralGrid.from_image_static(
+                im, cm, grid_depth, self.sigma_space, self.sigma_color, dl
+            )
+            return g.convolve().normalize().data_cm
+
+        grids = jax.vmap(pre)(images, color_min, depth_limit)
+        if jax.default_backend() == "tpu" and int(grid_depth) >= 48:
+            out = _slice_fused_batched(
+                grids, images, color_min, self.sigma_space, self.sigma_color
+            )
+        else:
+            out = jax.vmap(
+                lambda g, d, cm: _slice(
+                    g, d, cm, self.sigma_space, self.sigma_color
+                )
+            )(grids, images, color_min)
+        return out.astype(images.dtype)
 
     def scale_down(self, image: Array) -> Array:
         """Filter then stride-2 decimate (edge_aware_filter.rs:137-147)."""

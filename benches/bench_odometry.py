@@ -160,8 +160,9 @@ def run_bilateral_split(label, depths_np):
 
     from align3d_tpu.ops.bilateral import (
         BilateralFilter,
-        BilateralGrid,
         _blur,
+        _normalize,
+        _slice_fused_batched,
         _splat,
     )
 
@@ -229,14 +230,10 @@ def run_bilateral_split(label, depths_np):
 
     def slice_step(_, carry):
         acc, bl = carry
-
-        def one(g, d, cm):
-            bg = BilateralGrid(
-                g, filt.sigma_space, filt.sigma_color, cm, None
-            ).normalize()
-            return bg.slice(d)
-
-        out = jax.vmap(one)(bl + acc * 0, depths, cmin_host)
+        norm = jax.vmap(_normalize)(bl + acc * 0)
+        out = _slice_fused_batched(
+            norm, depths, cmin_host, filt.sigma_space, filt.sigma_color
+        )
         return (
             acc + jnp.sum(out[0, 0, :1].astype(jnp.float32)) * 1e-12,
             bl,
@@ -245,9 +242,9 @@ def run_bilateral_split(label, depths_np):
     time_stage("normalize+slice", slice_step, (jnp.float32(0.0), blurred))
 
     def full_union_step(_, acc):
-        out = jax.vmap(
-            lambda d, cm: filt.filter_static(d, cm, gd_union)
-        )(depths + dep_u16(acc), cmin_host)
+        out = filt.filter_static_batched(
+            depths + dep_u16(acc), cmin_host, gd_union
+        )
         return acc + jnp.sum(out[0, 0, :1].astype(jnp.float32)) * 1e-12
 
     time_stage(f"FULL filter, union gd={gd_union}", full_union_step)
