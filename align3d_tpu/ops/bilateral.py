@@ -14,8 +14,11 @@ data-dependent. So there are no runtime scatters or gathers anywhere:
   precomputed banded matrix applied on the MXU (edge_aware_filter.rs:57-115
   interior-only write semantics are inside the matrix + a mask);
 * **normalize + slice** — trilinear sampling with static spatial corner
-  planes shared across each image-row group and the z interpolation as one
-  fused multiply+reduce (grid.rs:90-162 semantics, zero per-pixel gathers).
+  planes shared across each image-row group (grid.rs:90-162 semantics);
+  the x-lerp is one MXU contraction with a constant selection matrix and
+  the data-dependent z lookup is a lane-wise ``take_along_axis`` in a
+  Pallas kernel over transposed planes (CPU keeps a pure-XLA one-hot
+  reduce form as the parity oracle).
 
 Internally the grid is channel-major (2, gh, gw, gd) so the range axis sits
 on the TPU lane dimension (the reference's trailing-2 layout would waste
@@ -186,23 +189,27 @@ def _blur(grid: Array, depth_limit: Array) -> Array:
     m_d = (
         jnp.arange(gd) < jnp.asarray(depth_limit, jnp.int32) - 1
     ).astype(grid.dtype)
-    interior = (
-        jnp.asarray((m_h[:, None] & m_w[None, :]), grid.dtype)[..., None]
-        * m_d
-    )[None]
 
-    a_h = jnp.asarray(_blur_matrix(gh, m_h))
-    a_w = jnp.asarray(_blur_matrix(gw, m_w))
+    # Each axis's interior mask rides INSIDE its matrix: A_x' = A_x M_x
+    # (zeroed columns). Multiplying a term by an exact 0/1 inside the
+    # contraction is bitwise-identical to masking the input, the cross-axis
+    # mask components commute past the other axes' matrices and collapse by
+    # idempotence, and the input-side mask is harmless because the splat
+    # coordinate map never reaches the border cells it zeroes — so the
+    # three full-grid `* interior` round trips of the r4 form (~0.1
+    # ms/frame of HBM traffic at batch 64) drop out entirely.
+    a_h = jnp.asarray(_blur_matrix(gh, m_h) * m_h[None, :].astype(np.float32))
+    a_w = jnp.asarray(_blur_matrix(gw, m_w) * m_w[None, :].astype(np.float32))
     t_d = jnp.asarray(_tridiag_121(gd))
-    a_d = m_d[:, None] * (t_d @ (m_d[:, None] * t_d))
+    a_d = (m_d[:, None] * (t_d @ (m_d[:, None] * t_d))) * m_d[None, :]
 
     out = grid
     out = jnp.einsum("ah,chwd->cawd", a_h, out,
-                     preferred_element_type=jnp.float32) * interior
+                     preferred_element_type=jnp.float32)
     out = jnp.einsum("bw,chwd->chbd", a_w, out,
-                     preferred_element_type=jnp.float32) * interior
+                     preferred_element_type=jnp.float32)
     out = jnp.einsum("kd,chwd->chwk", a_d, out,
-                     preferred_element_type=jnp.float32) * interior
+                     preferred_element_type=jnp.float32)
     return out
 
 
@@ -777,9 +784,9 @@ class BilateralFilter:
         chunks: list[tuple["np.ndarray", Array]] = []
         for grid_depth, idx, limits in plan:
             # Budget: the slice's 128-lane-padded plane stack costs
-            # ~gh*w*ceil(gd/128)*512 bytes/frame; ~36 frames at gd 80
-            # keeps the whole batch of live stage buffers well under HBM.
-            step = max(1, 2880 // int(grid_depth))
+            # ~gh*w*ceil(gd/128)*512 bytes/frame; 64 frames at gd 80
+            # (~7 GB of live stage buffers) measured safely under HBM.
+            step = max(1, 5184 // int(grid_depth))
             for s in range(0, len(idx), step):
                 sub = idx[s : s + step]
                 out = self.filter_static_batched(

@@ -118,6 +118,7 @@ def _icp_kernel_v4(
     max_color_distance_sqr: float,
     dy_radius: int,
     huber_delta: float,
+    ablate: str = "",
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -184,6 +185,16 @@ def _icp_kernel_v4(
 
     band_dma(slot, i).wait()
 
+    # Profiling hook (tools/roofline_v4.py): stop after DMA + ray math.
+    if ablate == "dma":
+        @pl.when(i == 0)
+        def _():
+            sys_ref[...] = jnp.zeros((1, 16, 128), jnp.float32)
+
+        v = jnp.sum(u) + jnp.sum(band[slot, 0, 0, 0:1, 0:1].astype(f32))
+        sys_ref[0, 0:1, 0:1] += v.reshape(1, 1)
+        return
+
     # ---- banded association: (2R+1) candidate rows x 2 lane groups --------
     s_vec = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 0)
     n_dg = 2 if g > 1 else 1
@@ -214,15 +225,27 @@ def _icp_kernel_v4(
             ].reshape(NCH, slab_rows, 128)
             for d in range(2 * dy_radius + 1):
                 cand = slab[:, d : d + CHUNK, :]
-                got = jnp.take_along_axis(
-                    cand.reshape(NCH * CHUNK, 128),
-                    idx3.reshape(NCH * CHUNK, 128),
-                    axis=1,
-                ).reshape(NCH, CHUNK, 128)
+                if ablate == "no_gather":
+                    got = cand  # profiling hook: selects kept, lane gather cut
+                else:
+                    got = jnp.take_along_axis(
+                        cand.reshape(NCH * CHUNK, 128),
+                        idx3.reshape(NCH * CHUNK, 128),
+                        axis=1,
+                    ).reshape(NCH, CHUNK, 128)
                 row_ok = vi_j == (cb + rb0s + d + s_vec)
                 m = row_ok & grp_ok
                 acc = jnp.where(m[None], got, acc)
         gath[:, j * CHUNK : (j + 1) * CHUNK, :] = acc
+
+    # Profiling hook: stop after association (cheap int sum keeps it live).
+    if ablate == "assoc":
+        @pl.when(i == 0)
+        def _():
+            sys_ref[...] = jnp.zeros((1, 16, 128), jnp.float32)
+
+        sys_ref[0, 0:1, 0:1] += jnp.sum(gath[...].astype(f32)).reshape(1, 1)
+        return
 
     # ---- decode the int pack ----------------------------------------------
     def hi_bf16(word):  # top 16 bits as the f32 value of the stored bf16
@@ -356,6 +379,20 @@ def _icp_kernel_v4(
         nx_, ny_, nz_, jg3, jg4, jg5, r_geom, ones,
         gx, gy, gz, jc3, jc4, jc5, r_color, ones,
     )
+    # Profiling hook: replace the bf16 stack + MXU contraction with ~17
+    # cheap elementwise ops (keeps every channel + both weights live).
+    if ablate == "no_reduce":
+        tot = w_geom * chans[6] + w_color * chans[14]
+        for c in chans[:6] + chans[7:14] + chans[15:]:
+            tot = tot + c
+
+        @pl.when(i == 0)
+        def _():
+            sys_ref[...] = jnp.zeros((1, 16, 128), jnp.float32)
+
+        sys_ref[0, 0:1, 0:1] += jnp.sum(tot).reshape(1, 1)
+        return
+
     cb16 = tuple(c.astype(bf16) for c in chans)
     wg16 = w_geom.astype(bf16)
     wc16 = w_color.astype(bf16)
@@ -380,7 +417,7 @@ def _icp_kernel_v4(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intrinsics", "h", "w", "params_tuple", "interpret"),
+    static_argnames=("intrinsics", "h", "w", "params_tuple", "interpret", "ablate"),
 )
 def icp_step_pallas_batched(
     rotation: Array,  # (B, 3, 3)
@@ -395,11 +432,16 @@ def icp_step_pallas_batched(
     w: int,
     params_tuple: tuple,  # (max_distance, max_normal_angle, max_color_distance[, radius])
     interpret: bool = False,
+    ablate: str = "",
 ) -> tuple[Array, Array]:
     """One banded GN accumulation over a batch of pairs (grid (B, nchunks)).
 
     Returns (geo_aug (B, 8, 8), color_aug (B, 8, 8)): augmented systems
     [[H, g], [g^T, sum w r^2]] with the gate count at [7, 7].
+
+    ``ablate`` is a PROFILING-ONLY hook (tools/roofline_v4.py): "dma",
+    "assoc", "no_gather", "no_reduce" truncate or thin the kernel to cost
+    out its sections; the returned systems are then meaningless.
     """
     bsz, nchunks = source_pack.shape[0], source_pack.shape[1]
     k = source_pack.shape[3]
@@ -434,6 +476,7 @@ def icp_step_pallas_batched(
         max_color_distance_sqr=float(max_color_distance) ** 2,
         dy_radius=dy_radius,
         huber_delta=huber_delta,
+        ablate=ablate,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
