@@ -77,13 +77,44 @@ def _splat_window(n_src: int, n_dst: int, inv_ss: float, pad: int):
     return idx, wt
 
 
-@partial(jax.jit, static_argnames=("grid_shape", "sigma_space", "sigma_color"))
+def _splat_kernel(zed_ref, wv_ref, w_ref, out_ref, *, zblk: int):
+    """One (grid row, z block) step: the tap-loop one-hot accumulate with
+    the accumulators VMEM-resident across all taps.
+
+    Accumulators sit (zblk, gw) — z on sublanes, grid columns on lanes —
+    so each tap's (1, gw) z/weight rows broadcast down sublanes with no
+    relayout; the final transpose to the grid's channel-major (gw, z)
+    layout happens once per step in VMEM. Deep grids tile the z axis
+    (zblk <= 256): the unrolled tap intermediates scale with the z extent
+    and a monolithic gd ~750 blew the scoped-VMEM stack. Tap order and
+    the f32 multiply-add expressions match the XLA form exactly (bitwise
+    parity, enforced by test)."""
+    zb = pl.program_id(1)
+    t_taps = zed_ref.shape[1]
+    gw = zed_ref.shape[2]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (zblk, gw), 0) + zb * zblk
+    acc_v = jnp.zeros((zblk, gw), jnp.float32)
+    acc_c = jnp.zeros((zblk, gw), jnp.float32)
+    for t in range(t_taps):
+        z = zed_ref[0, t : t + 1, :]  # (1, gw) i32
+        oh = (kk == z).astype(jnp.float32)
+        acc_c = acc_c + oh * w_ref[0, t : t + 1, :]
+        acc_v = acc_v + oh * wv_ref[0, t : t + 1, :]
+    out_ref[0, 0] = acc_v.T
+    out_ref[0, 1] = acc_c.T
+
+
+@partial(
+    jax.jit,
+    static_argnames=("grid_shape", "sigma_space", "sigma_color", "interpret"),
+)
 def _splat(
     image: Array,
     color_min: Array,
     grid_shape: tuple[int, int, int],
     sigma_space: float,
     sigma_color: float,
+    interpret: bool | None = None,
 ) -> Array:
     """Depth values+counts into the grid (grid.rs:59-77).
 
@@ -91,9 +122,13 @@ def _splat(
     spatial splat coordinates depend only on the pixel position, so each grid
     cell's contributing pixel window is a numpy constant
     (:func:`_splat_window`); only the range (z) coordinate is data-dependent
-    and resolves as a fused one-hot compare-accumulate over the window taps.
+    and resolves as a one-hot compare-accumulate over the window taps.
     No runtime scatter at all (the XLA scatter form cost 5.0 ms/frame on
-    v5e; this form ~0.5 ms).
+    v5e). On TPU the tap loop runs in a Pallas kernel with the row
+    accumulators VMEM-resident (:func:`_splat_kernel`) — the XLA form's
+    25-tap accumulate round-trips the (gh, gw, gd) accumulators through
+    HBM at batch scale; other backends keep the XLA form (the kernel's
+    bitwise parity oracle).
     """
     import numpy as np
 
@@ -120,11 +155,39 @@ def _splat(
     w_t = window(valid) * jnp.asarray(
         rwt[:, :, None, None] * cwt[None, None, :, :], jnp.float32
     )
+    a_taps, b_taps = zed.shape[1], zed.shape[3]
+
+    use_kernel = jax.default_backend() == "tpu" or interpret
+    if use_kernel:
+        # (gh, A, gw, B) -> (gh, A*B, gw): tap index t = a*B + b preserves
+        # the XLA form's accumulation order (bitwise-identical f32 sums).
+        t_taps = a_taps * b_taps
+        zblk = min(gd, 256)
+        nzb = -(-gd // zblk)
+
+        def rowmajor(x):
+            return x.transpose(0, 1, 3, 2).reshape(gh, t_taps, gw)
+
+        out = pl.pallas_call(
+            partial(_splat_kernel, zblk=zblk),
+            grid=(gh, nzb),
+            in_specs=[
+                pl.BlockSpec((1, t_taps, gw), lambda g, zb: (g, 0, 0)),
+                pl.BlockSpec((1, t_taps, gw), lambda g, zb: (g, 0, 0)),
+                pl.BlockSpec((1, t_taps, gw), lambda g, zb: (g, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 2, gw, zblk), lambda g, zb: (g, 0, 0, zb)
+            ),
+            out_shape=jax.ShapeDtypeStruct((gh, 2, gw, nzb * zblk), jnp.float32),
+            interpret=bool(interpret),
+        )(rowmajor(zed), rowmajor(w_t * val_t), rowmajor(w_t))
+        # channel-major (2, gh, gw, gd); drop any z-tile padding.
+        return out.transpose(1, 0, 2, 3)[..., :gd]
 
     kk = jax.lax.broadcasted_iota(jnp.int32, (gh, gw, gd), 2)
     acc_v = jnp.zeros((gh, gw, gd), jnp.float32)
     acc_c = jnp.zeros((gh, gw, gd), jnp.float32)
-    a_taps, b_taps = zed.shape[1], zed.shape[3]
     for a in range(a_taps):
         for b in range(b_taps):
             oh = (kk == zed[:, a, :, b, None]).astype(jnp.float32)

@@ -272,6 +272,35 @@ def test_filter_static_buckets_bitwise(bloei_luma16):
         np.testing.assert_array_equal(batched[i], single, err_msg=f"frame {i}")
 
 
+def test_splat_kernel_matches_xla(bloei_luma16):
+    """The Pallas splat kernel (interpret mode) == the XLA one-hot form
+    BITWISE: same tap order, same f32 multiply-add expressions."""
+    from align3d_tpu.ops.bilateral import _splat
+
+    img = jnp.asarray(bloei_luma16[:96, :128])
+    img = img.at[3:5, 7:9].set(0)  # holes exercise the validity weight
+    cmin = jnp.min(img)
+    gd = int((int(jnp.max(img)) - int(cmin)) / 30.0) + 1 + 4
+    gh = int((96 - 1) / 4.5) + 1 + 4
+    gw = int((128 - 1) / 4.5) + 1 + 4
+    ref = _splat(img, cmin, (gh, gw, gd), 4.5, 30.0, interpret=None)
+    got = _splat(img, cmin, (gh, gw, gd), 4.5, 30.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # Deep grid (> one 256-channel z tile): sample2-scale span.
+    wide = (jnp.asarray(bloei_luma16[:64, :96]).astype(jnp.int32) * 10).astype(
+        jnp.uint16
+    )
+    cmin_w = jnp.min(wide)
+    gd_w = int((int(jnp.max(wide)) - int(cmin_w)) / 30.0) + 1 + 4
+    assert gd_w > 256
+    gh_w = int((64 - 1) / 4.5) + 1 + 4
+    gw_w = int((96 - 1) / 4.5) + 1 + 4
+    ref_w = _splat(wide, cmin_w, (gh_w, gw_w, gd_w), 4.5, 30.0, interpret=None)
+    got_w = _splat(wide, cmin_w, (gh_w, gw_w, gd_w), 4.5, 30.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(ref_w))
+
+
 def test_slice_fused_matches_xla(bloei_luma16):
     """The Pallas slice kernel (interpret mode on CPU) == the XLA slice
     oracle on a real image, bit-exactly (same arithmetic, same order)."""
