@@ -51,7 +51,7 @@ def main() -> int:
 
     def step(_, carry):
         rot, trans, acc = carry
-        br, bt, bres = _align_jit(
+        br, bt, bres, _resorts = _align_jit(
             rot,
             trans + 1e-12 * acc,
             source.points,
