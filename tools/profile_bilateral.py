@@ -42,7 +42,7 @@ def main() -> int:
         return acc + jnp.sum(g[0, 0, 0])
 
     def blur_step(_, acc):
-        g = b._blur(grid.data_cm + acc * 1e-20)
+        g = b._blur(grid.data_cm + acc * 1e-20, jnp.int32(gd))
         return acc + jnp.sum(g[0, 0, 0])
 
     def norm_step(_, acc):
